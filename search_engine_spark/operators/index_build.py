@@ -1,0 +1,295 @@
+"""Inverted-index build (SURVEY.md §2.3 A1-A5), Spark-first.
+
+Replaces the reference's row-per-posting SQLite insert pipeline
+(ref: Indexer/SQLiteSearcher.java:100-337 posting construction,
+:339-403 IDF UPDATE pass) with:
+
+  tokenize (map-side per-doc agg, zero shuffle)
+    -> explode to (doc_id, term, tf, positions)          [narrow]
+    -> shard = doc_id // docs_per_shard                  [narrow]
+    -> repartition(term, shard) -> applyInPandas merge   [ONE shuffle]
+    -> postings table: one row per (term, shard): sorted doc-id run,
+       delta+varint codec, float32 tfs, block-max metadata for WAND
+  plus df/idf/doc-length stats as separate small aggregates.
+
+Scale design:
+  * The ONLY wide exchange over the big data is the (term, shard)
+    repartition. Sharding by fixed doc-id ranges (not hash-salting)
+    bounds the hottest term's row to ``docs_per_shard`` postings —
+    deterministic skew control (a term has at most one posting per doc,
+    so a range of D docs yields <= D postings per shard) — and makes
+    shards align ACROSS terms, so query-time multi-term merging
+    (intersection, WAND) co-groups by shard with no re-shuffle.
+  * IDF is never UPDATEd in place (the reference batches 10k UPDATEs,
+    SQLiteSearcher.java:360-370); it lives in the small ``term_stats``
+    table and joins at query time (broadcast for query term sets).
+  * BM25 per-posting weight ``bm25_tf`` is precomputed at build time from
+    (tf, doc_len, avgdl), so query-time scoring needs NO join against the
+    (huge) doc_stats table — score = Σ idf · bm25_tf.
+  * IDF base is log10 per reference parity (SQLite LOG is base-10 —
+    SURVEY quirk Q2; ref SQLiteSearcher.java:362).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import DEFAULT, EngineConfig
+from search_engine_spark.operators import codec
+from search_engine_spark.operators.tokenize import tokenize_docs
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_postings", T.LongType()),
+        T.StructField("min_doc_id", T.LongType()),
+        T.StructField("max_doc_id", T.LongType()),
+        T.StructField("max_bm25_tf", T.DoubleType()),
+        T.StructField(
+            "postings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("tf", T.DoubleType()),
+                        T.StructField("tf_norm", T.DoubleType()),
+                        T.StructField("bm25_tf", T.DoubleType()),
+                        T.StructField("positions", T.ArrayType(T.IntegerType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tf_enc", T.BinaryType()),
+        T.StructField("bm25_tf_enc", T.BinaryType()),
+        T.StructField("pos_enc", T.BinaryType()),
+        T.StructField("block_max", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@dataclass
+class Index:
+    """Built index artifacts.
+
+    postings:   (term, shard, n_postings, min/max_doc_id, postings[],
+                 codec binaries, block_max[]) — one row per (term, shard)
+    term_stats: (term, df, idf)           — idf = log10(N/df)
+    doc_stats:  (doc_id, doc_len)
+    docs:       source docs projection (doc_id, sha256, page_rank?) or None
+    """
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avgdl: float
+    cfg: EngineConfig
+    docs: DataFrame | None = None
+
+    def save(self, path: str) -> None:
+        # sortWithinPartitions(term) after range-repartition → parquet
+        # row-group min/max stats make term lookups prune files/row-groups.
+        (
+            self.postings.repartitionByRange("term", "shard")
+            .sortWithinPartitions("term", "shard")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "postings"))
+        )
+        self.term_stats.write.mode("overwrite").parquet(
+            os.path.join(path, "term_stats")
+        )
+        self.doc_stats.write.mode("overwrite").parquet(
+            os.path.join(path, "doc_stats")
+        )
+        meta = {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "docs_per_shard": self.cfg.docs_per_shard,
+            "bm25_k1": self.cfg.bm25_k1,
+            "bm25_b": self.cfg.bm25_b,
+        }
+        spark = self.postings.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> "Index":
+        meta_row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+        meta = json.loads(meta_row["meta"])
+        return Index(
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+            doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
+            n_docs=int(meta["n_docs"]),
+            avgdl=float(meta["avgdl"]),
+            cfg=cfg,
+        )
+
+
+def _make_shard_builder(cfg: EngineConfig):
+    block = cfg.block_size
+    store_arrays = cfg.store_arrays
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.float64)
+        tf_norms = pdf["tf_norm"].to_numpy(dtype=np.float64)
+        bm25_tfs = pdf["bm25_tf"].to_numpy(dtype=np.float64)
+        pos_lists = pdf["positions"].tolist()
+        n = doc_ids.size
+        # block-max over bm25_tf for WAND pruning
+        nblocks = (n + block - 1) // block
+        bmax = [
+            float(bm25_tfs[b * block : (b + 1) * block].max())
+            for b in range(nblocks)
+        ]
+        postings = (
+            [
+                {
+                    "doc_id": int(d),
+                    "tf": float(t),
+                    "tf_norm": float(tn),
+                    "bm25_tf": float(bt),
+                    "positions": [int(p) for p in pl],
+                }
+                for d, t, tn, bt, pl in zip(
+                    doc_ids, tfs, tf_norms, bm25_tfs, pos_lists
+                )
+            ]
+            if store_arrays
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_postings": [n],
+                "min_doc_id": [int(doc_ids[0])],
+                "max_doc_id": [int(doc_ids[-1])],
+                "max_bm25_tf": [float(bm25_tfs.max())],
+                "postings": [postings],
+                "doc_ids_enc": [codec.delta_encode_ids(doc_ids)],
+                "tf_enc": [codec.encode_tfs(tfs)],
+                "bm25_tf_enc": [codec.encode_tfs(bm25_tfs)],
+                "pos_enc": [codec.encode_positions(pos_lists)],
+                "block_max": [bmax],
+            }
+        )
+
+    return build_shard
+
+
+def build_index(
+    docs: DataFrame,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    cfg: EngineConfig = DEFAULT,
+) -> Index:
+    """Full index build. See module docstring for the plan shape."""
+    tok = tokenize_docs(docs, text_col, doc_id_col, cfg)
+    tok = tok.persist()
+
+    doc_stats = tok.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("doc_len")
+    )
+    agg = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    per_term = (
+        tok.select(
+            "doc_id",
+            F.col("n_tokens").cast("double").alias("doc_len"),
+            F.explode("tokens").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "doc_len",
+            F.col("t.term").alias("term"),
+            F.col("t.tf").alias("tf"),
+            F.col("t.positions").alias("positions"),
+        )
+        .withColumn(
+            "tf_norm",
+            F.when(F.col("doc_len") > 0, F.col("tf") / F.col("doc_len"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "bm25_tf",
+            (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(max(avgdl, 1e-12)))
+            ),
+        )
+        .withColumn(
+            "shard", (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast("long")
+        )
+    )
+
+    term_stats = (
+        per_term.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
+        )  # quirk Q2: log base 10, ref SQLiteSearcher.java:362
+    )
+
+    postings = (
+        per_term.repartition("term", "shard")
+        .groupBy("term", "shard")
+        .applyInPandas(_make_shard_builder(cfg), schema=POSTINGS_SCHEMA)
+    )
+
+    docs_proj_cols = [doc_id_col]
+    if "sha256" in docs.columns:
+        docs_proj_cols.append("sha256")
+    if "page_rank" in docs.columns:
+        docs_proj_cols.append("page_rank")
+    docs_proj = docs.select(*docs_proj_cols).withColumnRenamed(
+        doc_id_col, "doc_id"
+    )
+
+    return Index(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        cfg=cfg,
+        docs=docs_proj,
+    )
+
+
+def verify_sha256(docs: DataFrame, source: DataFrame, id_col: str = "doc_id") -> int:
+    """Per-row invariant (BASELINE.json input_hint): sha256(content)
+    equality against the source table. Returns the number of mismatching
+    rows (0 == pass)."""
+    lhs = docs.select(
+        F.col(id_col), F.sha2(F.col("content"), 256).alias("h")
+    )
+    rhs = source.select(F.col(id_col), F.col("sha256").alias("h0"))
+    return (
+        lhs.join(rhs, id_col, "full")
+        .where(
+            F.col("h").isNull()
+            | F.col("h0").isNull()
+            | (F.col("h") != F.col("h0"))
+        )
+        .count()
+    )

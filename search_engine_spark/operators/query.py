@@ -1,0 +1,223 @@
+"""Query-side operators (SURVEY.md §2.4-2.5): posting lookup, boolean
+combine, phrase match, BM25/TF-IDF scoring, PageRank mix, top-k.
+
+Plan shape for one query (SURVEY.md §3.1 "Spark shape"):
+  parse on the driver (strings; Q1-Q3)
+  -> postings.filter(term.isin(stems))      # parquet row-group pruning on
+                                            # the term column (sorted at
+                                            # save time) + min/max stats
+  -> explode(postings)                      # narrow
+  -> boolean semi/anti/union combine        # semi-joins on doc_id
+  -> broadcast-join idf of the <=N query terms
+  -> groupBy(doc_id).sum(idf·bm25_tf)       # the only wide exchange,
+                                            # cardinality = candidate docs
+  -> + 0.3·pagerank, orderBy(score desc, doc_id asc).limit(k)
+                                            # TakeOrderedAndProject — no
+                                            # global sort materialization
+
+Quirk fidelity (SURVEY.md §2.9): AND keeps left's tf/idf (Q4), OR merge
+right-wins per term + max pagerank (Q5), tie-break score DESC doc_id ASC
+(Q6), phrase gap-3 chained-walk matcher (Q8), single boolean operator (Q9).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from search_engine_spark.operators.index_build import Index
+from search_engine_spark.operators.parser import (
+    detect_operator,
+    is_phrase,
+    query_stems,
+    strip_phrase,
+)
+
+MATCH_COLS = ["doc_id", "term", "tf", "tf_norm", "bm25_tf", "positions"]
+
+
+def term_matches(index: Index, stems: list[str]) -> DataFrame:
+    """Q4 posting lookup: explode the posting shards of the query stems
+    into (doc_id, term, tf, tf_norm, bm25_tf, positions) rows."""
+    rows = index.postings.filter(F.col("term").isin(list(stems)))
+    return rows.select(
+        "term", F.explode("postings").alias("p")
+    ).select(
+        F.col("p.doc_id").alias("doc_id"),
+        "term",
+        F.col("p.tf").alias("tf"),
+        F.col("p.tf_norm").alias("tf_norm"),
+        F.col("p.bm25_tf").alias("bm25_tf"),
+        F.col("p.positions").alias("positions"),
+    )
+
+
+def _make_phrase_udf(stems: list[str], max_gap: int):
+    """Vectorized wrapper over the quirk-Q8 matcher. ``plists`` arrives as
+    one array<struct<term, positions>> per candidate doc."""
+    from search_engine_spark.oracle import phrase_match
+
+    order = list(stems)
+
+    @pandas_udf(T.BooleanType())
+    def phrase_ok(plists: pd.Series) -> pd.Series:
+        out = []
+        for entries in plists:
+            by_term = {e["term"]: sorted(e["positions"]) for e in entries}
+            pls = [by_term.get(s, []) for s in order]
+            out.append(phrase_match(pls, max_gap))
+        return pd.Series(out)
+
+    return phrase_ok
+
+
+def phrase_matches(index: Index, stems: list[str]) -> DataFrame:
+    """Q6-Q8: candidate docs containing ALL stems (countDistinct == n,
+    the reference's HAVING-subquery shape, QueryIndex.java:225-229), then
+    the gap-3 positional check as an Arrow UDF over nested position
+    arrays — positions never explode into rows (vs the reference's
+    row-per-position WordPositions table)."""
+    uniq = list(dict.fromkeys(stems))
+    rows = term_matches(index, uniq)
+    cand = (
+        rows.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.collect_list(F.struct("term", "positions")).alias("plists"),
+        )
+        .filter(F.col("n_terms") == len(uniq))
+    )
+    ok = cand.filter(
+        _make_phrase_udf(stems, index.cfg.phrase_max_gap)(F.col("plists"))
+    ).select("doc_id")
+    return rows.join(ok, "doc_id", "left_semi")
+
+
+def combine_and(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q9/quirk Q4: intersection keeping ONLY the left side's term data
+    (ref: QP.java:245-273)."""
+    return left.join(right.select("doc_id").distinct(), "doc_id", "left_semi")
+
+
+def combine_not(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q11: difference (ref: QP.java:327-358)."""
+    return left.join(right.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
+def combine_or(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q10/quirk Q5: union; on (doc, term) collision the RIGHT side's entry
+    wins (reference putAll bias, QP.java:282-324)."""
+    tagged = left.withColumn("side", F.lit(0)).unionByName(
+        right.withColumn("side", F.lit(1))
+    )
+    return (
+        tagged.groupBy("doc_id", "term")
+        .agg(
+            F.max_by(
+                F.struct("tf", "tf_norm", "bm25_tf", "positions"), "side"
+            ).alias("e")
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.col("e.tf").alias("tf"),
+            F.col("e.tf_norm").alias("tf_norm"),
+            F.col("e.bm25_tf").alias("bm25_tf"),
+            F.col("e.positions").alias("positions"),
+        )
+    )
+
+
+def component_matches(index: Index, part: str) -> DataFrame:
+    if is_phrase(part):
+        return phrase_matches(index, query_stems(strip_phrase(part)))
+    return term_matches(index, query_stems(part))
+
+
+def score_matches(
+    index: Index,
+    matches: DataFrame,
+    mode: str = "bm25",
+    page_rank: DataFrame | None = None,
+) -> DataFrame:
+    """R1-R4: per-doc relevance Σ idf·w(tf) + 0.7/0.3 PageRank mix.
+
+    term_stats is filtered to the handful of query terms and broadcast —
+    the groupBy(doc_id) partial-aggregates map-side before the exchange.
+    """
+    idf = F.broadcast(
+        index.term_stats.select("term", "idf").join(
+            matches.select("term").distinct(), "term", "left_semi"
+        )
+    )
+    weighted = matches.join(idf, "term")
+    rel_term = (
+        F.col("idf") * F.col("bm25_tf")
+        if mode == "bm25"
+        else F.col("idf") * F.col("tf_norm")
+    )
+    rel = weighted.groupBy("doc_id").agg(F.sum(rel_term).alias("rel"))
+
+    w_rel = F.lit(index.cfg.relevance_weight)
+    w_pr = F.lit(index.cfg.pagerank_weight)
+    if page_rank is None and index.docs is not None and "page_rank" in index.docs.columns:
+        page_rank = index.docs.select("doc_id", "page_rank")
+    if page_rank is not None:
+        rel = rel.join(page_rank, "doc_id", "left").fillna(
+            {"page_rank": 0.0}
+        )
+    else:
+        rel = rel.withColumn("page_rank", F.lit(0.0))
+    return rel.select(
+        "doc_id",
+        "rel",
+        "page_rank",
+        (w_rel * F.col("rel") + w_pr * F.col("page_rank")).alias("score"),
+    )
+
+
+def search(
+    index: Index,
+    query: str,
+    k: int | None = None,
+    mode: str = "bm25",
+    page_rank: DataFrame | None = None,
+) -> DataFrame:
+    """Full reference-semantics search: returns the top-k
+    (doc_id, rel, page_rank, score) with the Q6 deterministic tie-break."""
+    k = k or index.cfg.topk_default
+    op, left, right = detect_operator(query)
+    lm = component_matches(index, left)
+    if op is None:
+        matches = lm
+    else:
+        rm = component_matches(index, right)
+        matches = {
+            "AND": combine_and,
+            "NOT": combine_not,
+            "OR": combine_or,
+        }[op](lm, rm)
+    scored = score_matches(index, matches, mode=mode, page_rank=page_rank)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_many(
+    index: Index,
+    queries: list[str],
+    k: int | None = None,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Batch evaluation: one DataFrame (query, doc_id, score, rank) for a
+    list of queries — unions the per-query top-k plans so Spark runs them
+    as one job (shared scans)."""
+    parts = []
+    for q in queries:
+        parts.append(
+            search(index, q, k=k, mode=mode).withColumn("query", F.lit(q))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,86 @@
+"""Rank-identity: Spark engine vs the quirk-faithful oracle on the
+reference query set (FIXTURES.md F5) — every QP grammar shape."""
+
+import math
+
+import pytest
+
+from search_engine_spark.operators.query import search
+from search_engine_spark.oracle import oracle_search
+
+# F5: single/multi-term, stopword, stemmed variants, phrases (gap pos+neg),
+# AND/OR/NOT incl. phrase side, empty-result term
+QUERY_SET = [
+    "banana",
+    "banana recipe",
+    "the banana",                 # stopword on the query side (quirk Q3)
+    "traveling",                  # stems to same as "travel"
+    "travel traveling",
+    '"banana recipe"',            # planted adjacent phrase
+    "banana AND recipe",
+    "banana OR recipe",
+    "banana NOT recipe",
+    '"banana recipe" AND spark',
+    "spark OR nosuchwordxyz",
+    "nosuchwordxyz",              # empty result
+    "partition shuffle broadcast",
+    "index AND token",
+    "search OR engine",
+]
+
+
+def _run(index, oracle_idx, q, mode):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(index, q, k=10, mode=mode).collect()
+    ]
+    want = oracle_search(oracle_idx, q, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"rank mismatch for {q!r}: {got} vs {want}"
+    )
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (
+            f"score mismatch for {q!r} doc {gd}: {gs} vs {ws}"
+        )
+
+
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_rank_identity_bm25(spark_index, oracle_idx, q):
+    _run(spark_index, oracle_idx, q, "bm25")
+
+
+@pytest.mark.parametrize("q", ["banana recipe", "banana OR recipe",
+                               '"banana recipe"', "banana NOT recipe"])
+def test_rank_identity_tfidf_mode(spark_index, oracle_idx, q):
+    _run(spark_index, oracle_idx, q, "tfidf")
+
+
+def test_phrase_gap_negative(spark_index, oracle_idx):
+    # docs planted with banana x x x recipe (gap 4) must NOT match the
+    # phrase, but DO match the bag-of-words query
+    phrase = set(
+        r["doc_id"]
+        for r in search(spark_index, '"banana recipe"', k=1000).collect()
+    )
+    want = set(d for d, _ in oracle_search(oracle_idx, '"banana recipe"', k=1000))
+    assert phrase == want
+    bag = set(
+        r["doc_id"]
+        for r in search(spark_index, "banana AND recipe", k=1000).collect()
+    )
+    assert phrase <= bag
+    assert bag - phrase, "expected some gap>3 docs matching AND but not phrase"
+
+
+def test_and_keeps_left_scores(spark_index, oracle_idx):
+    # quirk Q4: score of "banana AND recipe" uses banana-side tf/idf only
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search(spark_index, "banana AND recipe", k=1000).collect()
+    }
+    for doc_id, score in oracle_search(oracle_idx, "banana AND recipe", k=1000):
+        assert math.isclose(got[doc_id], score, rel_tol=1e-9)
+
+
+def test_empty_query_results(spark_index):
+    assert search(spark_index, "nosuchwordxyz", k=10).count() == 0
