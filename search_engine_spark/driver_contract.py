@@ -1,0 +1,672 @@
+"""Driver-contract query registry: paired (Spark callable, DuckDB oracle
+SQL) per operator, consumed by ``__spark_entry__.py``.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the
+oracle SQL computes the SAME result over DuckDB views named after the
+parquet tables. Column names, types and rounding are aligned on both
+sides (the driver's value-hash is order-insensitive but name/value
+sensitive).
+
+Index-backed queries run the REAL engine (build_index + search) with an
+unstemmed/no-stopword analyzer (``SIMPLE_CFG``) so the semantics stay
+expressible in ANSI SQL; Porter/stopword/quirk behavior is covered by the
+pytest oracle instead (tests/test_query.py). Query terms used here are
+Porter-fixed-points, so the same strings work under either analyzer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import Index, build_index
+
+SIMPLE_CFG = EngineConfig(stem=False, remove_stopwords=False)
+
+K1, B = SIMPLE_CFG.bm25_k1, SIMPLE_CFG.bm25_b
+W_REL = SIMPLE_CFG.relevance_weight
+
+_INDEX_CACHE: dict[str, Index] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> Index:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(
+            _docs(spark, sf_dir), text_col="text", doc_id_col="doc_id",
+            cfg=SIMPLE_CFG,
+        )
+        idx.postings = idx.postings.persist()
+        idx.term_stats = idx.term_stats.persist()
+        idx.doc_stats = idx.doc_stats.persist()
+        _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE prefix: tokenization with the engine's validity gate
+# (len [2,45], ^[a-z]+$), positions over VALID tokens, tf / doc-len / idf
+# ---------------------------------------------------------------------------
+
+TOK_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+raw AS (
+  SELECT doc_id, l[i] AS term, i AS rp
+  FROM toks, UNNEST(generate_series(1, len(l))) AS u(i)
+),
+valid AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS pos
+  FROM raw
+  WHERE len(term) >= 2 AND len(term) <= 45
+    AND regexp_matches(term, '^[a-z]+$')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM valid GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(v.n, 0)::BIGINT AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM valid GROUP BY doc_id) v
+    USING (doc_id)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT avg(doc_len) FROM dl) AS avgdl
+),
+ts AS (
+  SELECT term, count(*)::BIGINT AS df,
+         log10((SELECT n_docs FROM stats) / count(*)) AS idf
+  FROM tf GROUP BY term
+)
+"""
+
+
+def _bm25_expr(tf: str = "tf.tf", dl: str = "dl.doc_len") -> str:
+    return (
+        f"ts.idf * ({tf} * {1.0 + K1}) / "
+        f"({tf} + {K1} * (1.0 - {B} + {B} * {dl} / (SELECT avgdl FROM stats)))"
+    )
+
+
+def _score_sql(terms: list[str], cand_filter: str = "") -> str:
+    """Scored-docs SQL for a term set (+ optional candidate filter)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""{TOK_CTE},
+scored AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS rel
+  FROM tf JOIN ts USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({inlist}) {cand_filter}
+  GROUP BY tf.doc_id
+)"""
+
+
+def _spark_search(spark, sf_dir, query, k=100000) -> DataFrame:
+    from search_engine_spark.operators.query import search
+
+    idx = get_index(spark, sf_dir)
+    return search(idx, query, k=k).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+# --- engine core -----------------------------------------------------------
+
+def q_index_postings(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.postings.select(
+        "term", F.explode("postings").alias("p")
+    ).select("p.doc_id", "term", "p.tf")
+
+
+SQL_INDEX_POSTINGS = TOK_CTE + "SELECT doc_id, term, tf FROM tf"
+
+
+def q_term_stats(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.term_stats.select(
+        "term", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+SQL_TERM_STATS = TOK_CTE + "SELECT term, df, round(idf, 6) AS idf FROM ts"
+
+
+def q_doc_lengths(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.doc_stats.select("doc_id", "doc_len")
+
+
+SQL_DOC_LENGTHS = TOK_CTE + "SELECT doc_id, doc_len FROM dl"
+
+
+BM25_TERMS = ["hash", "join", "window"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _spark_search(spark, sf_dir, " ".join(BM25_TERMS), k=10)
+
+
+SQL_BM25_TOPK = _score_sql(BM25_TERMS) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bool_and(spark, sf_dir):
+    return _spark_search(spark, sf_dir, "scan AND batch")
+
+
+# quirk Q4: AND scores with the LEFT side's terms only
+SQL_BOOL_AND = _score_sql(
+    ["scan"],
+    cand_filter=(
+        "AND tf.doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')"
+    ),
+) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 100000
+"""
+
+
+def q_bool_or(spark, sf_dir):
+    return _spark_search(spark, sf_dir, "scan OR batch")
+
+
+SQL_BOOL_OR = _score_sql(["scan", "batch"]) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 100000
+"""
+
+
+def q_bool_not(spark, sf_dir):
+    return _spark_search(spark, sf_dir, "scan NOT batch")
+
+
+SQL_BOOL_NOT = _score_sql(
+    ["scan"],
+    cand_filter=(
+        "AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'batch')"
+    ),
+) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 100000
+"""
+
+
+def q_phrase(spark, sf_dir):
+    return _spark_search(spark, sf_dir, '"hash join"')
+
+
+# 2-word phrase, gap<=3 over valid-token positions: exists-pair is exactly
+# the reference matcher's semantics for two words (QueryIndex.java:355-385)
+SQL_PHRASE = _score_sql(
+    ["hash", "join"],
+    cand_filter="""AND tf.doc_id IN (
+      SELECT DISTINCT a.doc_id FROM valid a JOIN valid b USING (doc_id)
+      WHERE a.term = 'hash' AND b.term = 'join'
+        AND b.pos > a.pos AND b.pos <= a.pos + 3)""",
+) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 100000
+"""
+
+
+def q_suggest_prefix(spark, sf_dir):
+    from search_engine_spark.operators.suggestions import prefix_suggest
+
+    return prefix_suggest(get_index(spark, sf_dir), "s", k=5)
+
+
+SQL_SUGGEST_PREFIX = TOK_CTE + """
+SELECT term FROM ts WHERE term LIKE 's%'
+ORDER BY (CASE WHEN term = 's' THEN 1
+               WHEN term LIKE 's %' THEN 2 ELSE 3 END), term
+LIMIT 5
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    tot = (
+        idx.postings.select("term", F.explode("postings").alias("p"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.round(F.sum("p.tf"), 4).alias("total_tf"),
+            F.sum("p.tf").alias("_o"),
+        )
+        .orderBy(F.desc("_o"), F.asc("term"))
+        .limit(20)
+        .drop("_o")
+    )
+    return tot
+
+
+SQL_TOP_TERMS = TOK_CTE + """
+SELECT term, count(*)::BIGINT AS df, round(sum(tf), 4) AS total_tf
+FROM tf GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 20
+"""
+
+
+# --- dedup / pipeline ------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from search_engine_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+SHINGLE_CTE = """
+WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+  FROM t2, UNNEST(generate_series(1, len(l) - 2)) AS u(i)
+  WHERE len(l) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = SHINGLE_CTE + """,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+"""
+
+N_MINHASH = 4
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=N_MINHASH, threshold=0.8
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_minhash_pairs() -> str:
+    sigs = ",\n".join(
+        f"  min(md5('{i}#' || shingle)) AS sig_{i}" for i in range(N_MINHASH)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, sig_{i} AS val FROM sig"
+        for i in range(N_MINHASH)
+    )
+    return SHINGLE_CTE + f""",
+sig AS (SELECT doc_id,\n{sigs}\nFROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS c
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from search_engine_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=N_MINHASH)
+
+
+def _sql_minhash_signatures() -> str:
+    sigs = ",\n".join(
+        f"  min(md5('{i}#' || shingle)) AS sig_{i}" for i in range(N_MINHASH)
+    )
+    return SHINGLE_CTE + f"\nSELECT doc_id,\n{sigs}\nFROM sh GROUP BY doc_id"
+
+
+SQL_MINHASH_SIGNATURES = _sql_minhash_signatures()
+
+
+def q_simhash(spark, sf_dir):
+    from search_engine_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    from search_engine_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n".join(
+        f"  sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, u.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+  WHERE u.term <> ''
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv FROM t
+),
+v AS (SELECT doc_id,\n{votes}\nFROM h GROUP BY doc_id)
+SELECT doc_id, ({fp}) AS simhash FROM v
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# --- similarity ------------------------------------------------------------
+
+def q_ann_cosine(spark, sf_dir):
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return cosine_topk(emb, qvec, k=10, exclude_ids=[0]).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SQL_ANN_COSINE = """
+WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS e FROM e2 WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(emb, (SELECT e FROM q)), 4) AS cosine
+FROM e2 WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(emb, (SELECT e FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+# --- text stats ------------------------------------------------------------
+
+def q_langid(spark, sf_dir):
+    from search_engine_spark.operators.textstats import langid
+
+    return langid(_docs(spark, sf_dir))
+
+
+def _sql_langid() -> str:
+    from search_engine_spark.operators.textstats import LANG_MARKERS
+
+    hit_cols = ",\n".join(
+        "  len(list_filter(string_split(text, ' '), t -> t IN ({})))::BIGINT AS {}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"{lang} >= {other}" for other in langs[i + 1 :]
+        )
+        cases.append(
+            f"WHEN {conds} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_expr = "CASE " + " ".join(cases[:-1]) + " " + cases[-1] + " END"
+    greatest = "greatest(" + ", ".join(langs) + ")"
+    return f"""
+WITH hits AS (SELECT doc_id,\n{hit_cols}\nFROM documents)
+SELECT doc_id, {case_expr} AS pred_lang, {greatest} AS hits FROM hits
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+def q_quality(spark, sf_dir):
+    from search_engine_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_QUALITY = """
+WITH q AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE AS n,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))::DOUBLE AS u,
+         list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                 t -> len(t)))::DOUBLE AS total_len
+  FROM documents
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       round(CASE WHEN n > 0 THEN u / n ELSE 0.0 END, 6) AS uniq_ratio,
+       round(CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END, 6) AS mean_token_len,
+       round(0.5 * least(n / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n > 0 THEN u / n ELSE 0.0 END)
+             + 0.2 * least((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) / 8.0, 1.0),
+             6) AS score
+FROM q
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from search_engine_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_ws_tokens,
+       len(list_filter(string_split(text, ' '),
+                       t -> len(t) >= 2 AND regexp_matches(t, '^[a-z]+$')))::BIGINT AS n_alpha_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from search_engine_spark.operators.textstats import fingerprint_md5
+
+    return fingerprint_md5(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# --- events / relational ---------------------------------------------------
+
+def q_events_recent(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return (
+        ev.where(F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 12 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_RECENT = """
+SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 12 HOUR
+GROUP BY event_type
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_pagerank_top(spark, sf_dir):
+    """Iterative PageRank over a deterministic ring graph per `source`
+    group — iterative fixpoint, not expressible in ANSI SQL (rows-only)."""
+    from search_engine_spark.operators.pagerank import pagerank
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("source", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    pr = pagerank(edges, docs.select("doc_id"))
+    return pr.orderBy(F.desc("page_rank"), F.asc("doc_id")).limit(20).select(
+        "doc_id", F.round("page_rank", 8).alias("page_rank")
+    )
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH ANN (bucketed) — the scale path for
+    similarity search; checked rows-only (recall vs brute force is a
+    pytest assertion)."""
+    from search_engine_spark.operators.similarity import lsh_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in row["embedding"]]
+    return lsh_topk(emb, qvec, dim=len(qvec), k=10, n_planes=6).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    """Arrow-UDF rolling-hash fingerprint (rows-only: custom hash)."""
+    from search_engine_spark.operators.textstats import fingerprint_rolling
+
+    return fingerprint_rolling(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "index_postings": q_index_postings,
+    "term_stats": q_term_stats,
+    "doc_lengths": q_doc_lengths,
+    "bm25_topk": q_bm25_topk,
+    "bool_and": q_bool_and,
+    "bool_or": q_bool_or,
+    "bool_not": q_bool_not,
+    "phrase": q_phrase,
+    "suggest_prefix": q_suggest_prefix,
+    "top_terms": q_top_terms,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ann_cosine": q_ann_cosine,
+    "langid": q_langid,
+    "quality": q_quality,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "events_recent": q_events_recent,
+    "pricing_summary": q_pricing_summary,
+    # rows-only:
+    "pagerank_top": q_pagerank_top,
+    "lsh_ann": q_lsh_ann,
+    "fingerprint_rolling": q_fingerprint_rolling,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "index_postings": SQL_INDEX_POSTINGS,
+    "term_stats": SQL_TERM_STATS,
+    "doc_lengths": SQL_DOC_LENGTHS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "bool_and": SQL_BOOL_AND,
+    "bool_or": SQL_BOOL_OR,
+    "bool_not": SQL_BOOL_NOT,
+    "phrase": SQL_PHRASE,
+    "suggest_prefix": SQL_SUGGEST_PREFIX,
+    "top_terms": SQL_TOP_TERMS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ann_cosine": SQL_ANN_COSINE,
+    "langid": SQL_LANGID,
+    "quality": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "fingerprint": SQL_FINGERPRINT,
+    "events_recent": SQL_EVENTS_RECENT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+}

@@ -1,0 +1,322 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is expressed as joins/aggregations Catalyst can
+plan (no driver-side pairwise loops):
+
+  * exact_dedup        — hash-groupBy (one shuffle on the hash)
+  * shingles           — word n-gram shingling, JVM-side array ops
+  * ngram_jaccard_pairs— shingle-inverted-index self-join: pairs sharing a
+                         shingle -> |∩| by groupBy, |∪| from per-doc sizes
+  * minhash_signatures — K independent min-hashes via min(md5(seed#shingle))
+  * minhash_lsh_pairs  — banded LSH: candidates share >=1 band, verified
+                         with exact Jaccard
+  * simhash            — 60-bit fingerprint from per-term hash bit votes
+
+Scale notes:
+  * ``max_shingle_df`` caps the posting length of one shingle in the
+    pair-join (a boilerplate shingle shared by 1e6 docs would otherwise
+    create 1e12 candidate rows). Dropped shingles only lose candidate
+    RECALL for near-dup detection of boilerplate — the exact verify step
+    is unaffected. Set None to disable (the SQL-oracle-checked config).
+  * min-hash uses md5 hex-string minima: lexicographic min over a uniform
+    hash is a valid min-hash and is reproducible in any SQL engine
+    (enables the DuckDB oracle), no custom UDF needed.
+  * simhash uses the first 15 hex chars (60 bits) of md5 so the value
+    fits a signed 64-bit integer in both Spark and standard SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content hash: (content_hash, keep_id, dup_count).
+    keep_id = min id (deterministic survivor), mirroring the reference
+    crawler's content-hash dedup gate (ref: Crawler/Crawler.java:163-169,
+    542-555 — MD5 of content, first writer wins; we keep min-id instead of
+    first-arrival because arrival order is nondeterministic in a cluster).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingle_array(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array — pure JVM array ops
+    (whole-stage codegen, no Python)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(tokens, i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) distinct — whitespace tokens, word n-grams."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingle_array(toks, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold) over word
+    n-gram shingle sets. Inverted-index self-join: only pairs sharing at
+    least one shingle are ever materialized."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{K-1}): K independent min-hashes, each the
+    lexicographic min of md5("<seed>#"+shingle) over the doc's shingles."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(
+            f"sig_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs: candidates share at least one min-hash
+    band (band size 1 here: P[collide] = jaccard per band), then exact
+    Jaccard verification >= threshold. Returns (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    # stack the K signatures into (band, value, doc_id) rows, bucket-join
+    stacked = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col(f"sig_{i}").alias("val"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = doc_shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _term_hash60(term: Column) -> Column:
+    """First 15 hex chars of md5 → 60-bit non-negative bigint, identical
+    in Spark and ANSI SQL (conv/from-hex)."""
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over the doc's DISTINCT
+    whitespace tokens — per bit, majority vote of the token hashes."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+        .withColumn("h", _term_hash60(F.col("term")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else (fp + bit)
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit fingerprint into
+    ``n_bands`` 15-bit chunks — any pair within hamming distance
+    < n_bands shares at least one identical chunk (pigeonhole) — then
+    verify exact hamming distance <= max_hamming."""
+    fps = simhash(df, text_col, id_col).persist()
+    width = SIMHASH_BITS // n_bands
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,171 @@
+"""PageRank as iterative DataFrame algebra (SURVEY.md §2.6 G1-G3).
+
+Reference semantics (ref: Ranker/PageRank.java:14-105):
+  damping d = 0.85, epsilon = 1e-5
+  init rank = 1/N
+  per iteration:
+    dangling = Σ rank(v) over zero-outdegree v        (:63-72)
+    rank'(i) = (1-d)/N + d·Σ_{j→i} rank(j)/out(j) + d·dangling/N  (:75-90)
+  converge when EVERY node moves <= ε (max-delta criterion, :93-100)
+
+The reference's inner loop is O(V²·E) (a linear `contains` scan per node
+pair); here each iteration is one join + one aggregation:
+
+  contribs = edges ⋈ ranks on src  → (dst, rank/out_deg)
+  new_ranks = contribs.groupBy(dst).sum + teleport + dangling term
+
+Scale design:
+  * edges are deduped once up front (the reference dedups adjacency with a
+    `contains` check, DataBaseManager.java:49-53).
+  * out-degrees are computed once and JOINED onto ranks (not recomputed).
+  * ranks are repartitioned by node id once; the per-iteration join is
+    then co-partitioned (edges pre-partitioned by src) — a single shuffle
+    of the (small) rank table per iteration, never the edge table.
+  * lineage is cut with localCheckpoint every ``checkpoint_every``
+    iterations, otherwise 50+ iterations blow the plan up exponentially.
+  * convergence = F.max(abs(new-old)) — one tiny agg per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT, EngineConfig
+
+
+def edges_from_links(links: DataFrame, docs: DataFrame) -> DataFrame:
+    """G1 graph load: resolve (src_doc_id, target_url) link rows against
+    the doc table's url column into (src, dst) edges, deduped
+    (ref: Data/DataBaseManager.java:37-57)."""
+    return (
+        links.join(docs, links["extracted_link"] == docs["url"], "inner")
+        .select(
+            links["doc_id"].alias("src"), docs["id"].alias("dst")
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """G2 iterate: returns (doc_id, page_rank).
+
+    ``nodes``: one-column DataFrame of node ids; defaults to the ids seen
+    in the edge list (the reference iterates over all doc ids — pass the
+    docs projection to include isolated nodes).
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("doc_id"))
+            .unionByName(edges.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("doc_id")).distinct()
+
+    shuffle_n = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    nodes = nodes.repartition(shuffle_n, "doc_id").persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("page_rank", F.lit(0.0))
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # node table with out-degree (0 for dangling) — partitioned by id once;
+    # the edge table is pre-partitioned by src so the per-iteration join of
+    # ranks (partitioned by doc_id) with edges (by src) lines up.
+    base = (
+        nodes.join(out_deg, nodes["doc_id"] == out_deg["src"], "left")
+        .select("doc_id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .repartition(shuffle_n, "doc_id")
+        .persist()
+    )
+    edges = edges.repartition(shuffle_n, "src").persist()
+    edges.count()  # materialize
+
+    d = cfg.pagerank_damping
+    eps = cfg.pagerank_epsilon
+    teleport = (1.0 - d) / n
+
+    ranks = base.select("doc_id", "out_deg", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint()
+
+    for it in range(cfg.pagerank_max_iter):
+        dangling = (
+            ranks.where(F.col("out_deg") == 0)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        new_ranks = (
+            base.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                "out_deg",
+                (
+                    F.lit(teleport)
+                    + F.lit(d)
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        # localCheckpoint every iteration: the rank table is tiny relative
+        # to the corpus and this also materializes it for the convergence
+        # agg, so each iteration stays O(1) plan depth.
+        new_ranks = new_ranks.localCheckpoint()
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "doc_id")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("m"))
+            .collect()[0]["m"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta <= eps:
+            break
+
+    return ranks.select("doc_id", F.col("rank").alias("page_rank"))
+
+
+def repo_link_graph(corpus: DataFrame) -> DataFrame:
+    """Synthetic link graph for the source-code corpus (SURVEY.md §7
+    Phase 3): docs in the same repo form a ring (each file links to the
+    next file id in its repo), and each repo's first file links to the
+    first file of the lexicographically next repo — deterministic,
+    connected-ish, with dangling tails. Pure DataFrame ops (windows over
+    repo partitions, no driver loop)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo").orderBy("doc_id")
+    intra = (
+        corpus.select("repo", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    firsts = corpus.groupBy("repo").agg(F.min("doc_id").alias("head"))
+    w2 = Window.orderBy("repo")
+    inter = (
+        firsts.withColumn("nxt_head", F.lead("head").over(w2))
+        .where(F.col("nxt_head").isNotNull())
+        .select(F.col("head").alias("src"), F.col("nxt_head").alias("dst"))
+    )
+    return intra.unionByName(inter)

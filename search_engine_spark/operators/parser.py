@@ -30,13 +30,16 @@ def strip_phrase(part: str) -> str:
     return part.strip()[1:-1]
 
 
-def query_stems(query: str) -> list[str]:
+def query_stems(query: str, stem: bool = True) -> list[str]:
     """Quirk Q3: whitespace split, lowercase, Porter stem — NO stopword or
     validity filtering on the query side (ref: QP.java:379-422).
-    Order-preserving unique (phrase word order matters)."""
+    Order-preserving unique (phrase word order matters).
+
+    ``stem=False`` for indexes built with an unstemmed config — the query
+    side must mirror the index-side analyzer."""
     stems: list[str] = []
     for w in query.lower().split():
-        s = porter_stem(w)
+        s = porter_stem(w) if stem else w
         if s not in stems:
             stems.append(s)
     return stems

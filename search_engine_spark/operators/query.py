@@ -134,9 +134,10 @@ def combine_or(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def component_matches(index: Index, part: str) -> DataFrame:
+    do_stem = index.cfg.stem  # query analyzer mirrors the index analyzer
     if is_phrase(part):
-        return phrase_matches(index, query_stems(strip_phrase(part)))
-    return term_matches(index, query_stems(part))
+        return phrase_matches(index, query_stems(strip_phrase(part), do_stem))
+    return term_matches(index, query_stems(part, do_stem))
 
 
 def score_matches(

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All hot-path expressions are JVM-side column ops (whole-stage codegen);
+the only Python is the rolling-hash fingerprint variant, which is
+Arrow-vectorized and optional (the md5 variant is the SQL-checkable one).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# small marker-word lists for n-gram-free heuristic language ID;
+# deterministic and reproducible in plain SQL (IN-list membership counts)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "qui", "pas", "sur"),
+}
+
+
+def _ws_tokens(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_alpha_tokens): raw whitespace tokens and
+    the [a-z]+, len>=2 subset (the engine's validity gate, minus
+    stopword/stemming)."""
+    toks = _ws_tokens(F.col(text_col))
+    alpha = F.filter(
+        toks, lambda t: (F.length(t) >= 2) & t.rlike("^[a-z]+$")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, uniq_ratio, mean_token_len, score).
+
+    score = 0.5·min(n_tokens/100, 1) + 0.3·uniq_ratio
+          + 0.2·min(mean_token_len/8, 1)
+    — a lexical-quality heuristic in the spirit of Gopher/C4-style
+    length/diversity filters; every term is a JVM expression.
+    """
+    toks = _ws_tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    uniq_ratio = F.when(n > 0, uniq / n).otherwise(F.lit(0.0))
+    mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    score = (
+        0.5 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.2 * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        mean_len.alias("mean_token_len"),
+        score.alias("score"),
+    )
+
+
+def langid(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pred_lang, hits): marker-word voting over whitespace
+    tokens. argmax with lexicographic tie-break on language code so the
+    result is deterministic (and SQL-reproducible)."""
+    toks = _ws_tokens(F.col(text_col))
+
+    def _hits(words):
+        # NB: Spark higher-order lambdas must take only Column params —
+        # close over the word list via a factory, not a default arg.
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    hit_cols = {lang: _hits(words) for lang, words in LANG_MARKERS.items()}
+    # argmax by (hits DESC, lang ASC) via array_max over structs
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    hits.alias("hits"),
+                    # invert lang for tie-break: max struct picks the
+                    # lexicographically LARGEST second field, so negate by
+                    # using a descending sort key trick: compare on
+                    # (hits, reversed lang) is awkward — instead subtract
+                    # a tiny deterministic epsilon per language rank.
+                    F.lit(-rank).alias("rank_neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for rank, (lang, hits) in enumerate(sorted(hit_cols.items()))
+            ]
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("hits"),
+    )
+
+
+def fingerprint_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, fp): md5 content fingerprint (SQL-checkable)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"),
+    )
+
+
+_ROLL_BASE = 1000003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hash(text: str) -> int:
+    """Polynomial rolling hash of a string (driver/UDF-side),
+    base 1000003 mod 2^61-1 — used for shift-resistant fingerprinting."""
+    h = 0
+    for ch in text:
+        h = (h * _ROLL_BASE + ord(ch)) % _ROLL_MOD
+    return h
+
+
+def fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, fp): rolling-hash fingerprint via Arrow-batched UDF."""
+
+    @pandas_udf(T.LongType())
+    def roll(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: rolling_hash(t or ""))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), roll(F.col(text_col)).alias("fp")
+    )

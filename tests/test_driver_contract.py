@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run each
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, compare row count, column names, and
+order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
+            )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # kill -0.0 and representation jitter beyond round-trip digits
+        return f"{v + 0.0:.10g}"
+    return str(v)
+
+
+def _rowset(cols, rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows), list(cols)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    got_rows = [tuple(r) for r in sdf.collect()]
+    got, got_cols = _rowset(sdf.columns, got_rows)
+
+    res = duck.sql(ORACLES[name])
+    want, want_cols = _rowset(
+        [d[0] for d in res.description], res.fetchall()
+    )
+
+    assert got_cols == want_cols, f"{name}: column mismatch"
+    assert len(got) == len(want), (
+        f"{name}: row count {len(got)} vs {len(want)}"
+    )
+    mismatches = [
+        (g, w) for g, w in zip(got, want) if g != w
+    ][:5]
+    assert got == want, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

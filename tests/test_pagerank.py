@@ -1,0 +1,95 @@
+"""PageRank vs the numpy/pure-Python oracle (FIXTURES.md F3): dangling
+node, 2-cycle, hub, isolated pair — damping 0.85, eps 1e-5, max-delta."""
+
+import math
+
+import pytest
+
+from search_engine_spark.oracle import oracle_pagerank
+
+# F3 graph: hub 0 -> {1,2,3}; 2-cycle 1<->2; 3 dangles; 4<->5 isolated pair;
+# 6 isolated node (no edges at all)
+EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 1), (4, 5), (5, 4)]
+NODES = [0, 1, 2, 3, 4, 5, 6]
+
+
+@pytest.fixture(scope="module")
+def spark_ranks(spark):
+    from search_engine_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+    return {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(edges, nodes).collect()
+    }
+
+
+def test_matches_oracle(spark_ranks):
+    want = oracle_pagerank(EDGES, NODES)
+    assert set(spark_ranks) == set(want)
+    for v in NODES:
+        assert math.isclose(spark_ranks[v], want[v], abs_tol=5e-5), (
+            v, spark_ranks[v], want[v]
+        )
+
+
+def test_rank_mass_conserved(spark_ranks):
+    # with dangling redistribution total mass stays ~1
+    assert math.isclose(sum(spark_ranks.values()), 1.0, abs_tol=1e-3)
+
+
+def test_duplicate_edges_ignored(spark):
+    from search_engine_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        EDGES + EDGES, "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+    got = {r["doc_id"]: r["page_rank"] for r in pagerank(edges, nodes).collect()}
+    want = oracle_pagerank(EDGES, NODES)
+    for v in NODES:
+        assert math.isclose(got[v], want[v], abs_tol=5e-5)
+
+
+def test_repo_link_graph(corpus_df):
+    from search_engine_spark.operators.pagerank import repo_link_graph
+
+    edges = repo_link_graph(corpus_df)
+    n_edges = edges.count()
+    n_docs = corpus_df.count()
+    n_repos = corpus_df.select("repo").distinct().count()
+    # ring edges: n_docs - n_repos intra + (n_repos - 1) inter
+    assert n_edges == n_docs - 1
+    assert edges.select("src").distinct().count() <= n_docs
+
+
+def test_end_to_end_rank_mix(spark, corpus_df, oracle_idx):
+    """Combined 0.7·BM25 + 0.3·PR (R2) matches the oracle when both sides
+    use the same page-rank values."""
+    from tests.conftest import TEST_CFG
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.pagerank import pagerank, repo_link_graph
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.oracle import oracle_build, oracle_search
+
+    pr = pagerank(
+        repo_link_graph(corpus_df), corpus_df.select("doc_id")
+    )
+    pr_map = {r["doc_id"]: r["page_rank"] for r in pr.collect()}
+    oidx = oracle_build(
+        [(d, c) for d, c in
+         [(r["doc_id"], r["content"]) for r in
+          corpus_df.select("doc_id", "content").collect()]],
+        cfg=TEST_CFG,
+        page_rank=pr_map,
+    )
+    idx = build_index(corpus_df, cfg=TEST_CFG)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(idx, "banana recipe", k=10, page_rank=pr).collect()
+    ]
+    want = oracle_search(oidx, "banana recipe", k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-6), (gd, gs, ws)
