@@ -15,6 +15,15 @@ Extra keys (ignored by the driver, used for BENCH/BASELINE.md):
 Scaling-efficiency mode (two parallelism levels on the SAME input):
   python bench.py --scaling     # runs N=8 and 4N=32 cores, reports
                                 # efficiency = (T_N / T_4N) / 4
+
+The scaling run generates a deterministic synthetic source-code corpus
+(BASELINE.json input_hint shape; sources/corpus.py, seed 42) sized so the
+build is compute-bound — the sf0.1 documents table (5k docs, ~7 s build)
+is scheduling-overhead-dominated and cannot evidence executor scaling.
+The corpus parquet is written ONCE and both runs read the same files with
+the same fixed partition count (128), so only executor-thread parallelism
+varies between the two measurements — the local-mode stand-in for N vs 4N
+executors.
 """
 
 from __future__ import annotations
@@ -29,16 +38,23 @@ import time
 def _mk_spark(cores: int, shuffle_parts: int):
     from search_engine_spark.session import get_spark
 
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        ),
+    }
+    # Shuffle/spill on tmpfs when available: this sandbox's virtio disk
+    # shows pathological sys-time storms under 32 concurrent writers.
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        extra["spark.local.dir"] = d
     return get_spark(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle_parts,
-        extra_conf={
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "16g"
-            ),
-        },
+        extra_conf=extra,
     )
 
 
@@ -128,6 +144,101 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+SCALING_PARTS = 128  # fixed partition count — identical physical input
+                     # layout at both parallelism levels
+
+
+def _scaling_corpus_path(n_docs: int) -> str:
+    """Generate (once) the deterministic input_hint-shaped corpus used by
+    the scaling benchmark; both parallelism levels read these same files."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"se_scaling_corpus_{n_docs}.parquet"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    spark = _mk_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 64)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        generate_corpus(
+            spark, n_docs=n_docs, seed=42, num_partitions=SCALING_PARTS
+        ).write.mode("overwrite").parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def run_scaling(cores: int, n_docs: int) -> dict:
+    """One timed index build + query batch at the given core count.
+
+    Shuffle partitions are fixed at SCALING_PARTS for both runs: the job
+    (input, partitioning, plan) is byte-identical; only the number of
+    executor threads differs — the sandbox stand-in for N vs 4N executors
+    (BASELINE.json north rule)."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import search
+    import time
+
+    path = _scaling_corpus_path(n_docs)
+    spark = _mk_spark(cores, shuffle_parts=SCALING_PARTS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # Spark's file-packing would coalesce these small files into a
+        # handful of input splits; repartition to the fixed layout so the
+        # tokenize stage has the same SCALING_PARTS tasks at both levels.
+        docs = spark.read.parquet(path).repartition(SCALING_PARTS).persist()
+        n = docs.count()  # materialize outside the timed region
+
+        cfg = EngineConfig()  # full reference analyzer: stem + stopwords
+
+        # 1 warmup + SPARK_GRAFT_SCALING_REPS timed builds: the first run
+        # pays one-time python-worker fork + JIT costs that are per-process,
+        # not per-job — steady-state throughput is what a long-running
+        # cluster build exhibits, and is the honest scaling signal.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        times = []
+        idx = None
+        for rep in range(reps + 1):
+            if idx is not None:
+                spark.catalog.clearCache()
+                docs = (
+                    spark.read.parquet(path)
+                    .repartition(SCALING_PARTS)
+                    .persist()
+                )
+                docs.count()
+            t0 = time.perf_counter()
+            idx = build_index(
+                docs, text_col="content", doc_id_col="doc_id", cfg=cfg
+            )
+            idx.postings = idx.postings.persist()
+            idx.postings.count()
+            idx.term_stats = idx.term_stats.persist()
+            idx.term_stats.count()
+            if rep > 0:  # rep 0 = warmup
+                times.append(time.perf_counter() - t0)
+        build_sec = statistics.median(times)
+
+        t0 = time.perf_counter()
+        for q in QUERY_SET:
+            search(idx, q, k=10).collect()
+        query_sec = time.perf_counter() - t0
+        return {
+            "cores": cores,
+            "n_docs": n,
+            "build_sec": build_sec,
+            "build_secs": [round(t, 2) for t in times],
+            "docs_per_sec": round(n / build_sec, 2),
+            "query_sec": round(query_sec, 4),
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,20 +246,25 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
-        lo = run_bench(max(cores // 4, 1), sf_dir)
-        hi = run_bench(cores, sf_dir)
-        eff = (lo["build_sec"] / hi["build_sec"]) / 4.0
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+        lo = run_scaling(max(cores // 4, 1), n_docs)
+        hi = run_scaling(cores, n_docs)
+        eff = (lo["build_sec"] / hi["build_sec"]) / (
+            hi["cores"] / lo["cores"]
+        )
         out = {
             "metric": "scaling_efficiency_Nx4N",
             "value": round(eff, 4),
             "unit": "ratio",
-            "sf": sf,
+            "n_docs": n_docs,
             "n_cores": lo["cores"],
             "n4_cores": hi["cores"],
             "throughput_n": lo["docs_per_sec"],
             "throughput_4n": hi["docs_per_sec"],
             "build_sec_n": round(lo["build_sec"], 4),
             "build_sec_4n": round(hi["build_sec"], 4),
+            "query_sec_n": lo["query_sec"],
+            "query_sec_4n": hi["query_sec"],
         }
         print(json.dumps(out))
         return

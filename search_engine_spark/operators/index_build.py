@@ -242,18 +242,22 @@ def build_index(
         )
     )
 
+    # groupBy(term, shard) is the ONLY wide exchange over token-level data;
+    # applyInPandas's ClusteredDistribution requirement drives the hash
+    # exchange directly — no separate repartition needed.
+    postings = per_term.groupBy("term", "shard").applyInPandas(
+        _make_shard_builder(cfg), schema=POSTINGS_SCHEMA
+    )
+
+    # df/idf derive from the (tiny) per-shard posting counts — one row per
+    # (term, shard) — instead of a second full pass over the token rows.
+    # A term has at most one posting per doc, so df == Σ_shards n_postings.
     term_stats = (
-        per_term.groupBy("term")
-        .agg(F.count("*").alias("df"))
+        postings.groupBy("term")
+        .agg(F.sum("n_postings").alias("df"))
         .withColumn(
             "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
         )  # quirk Q2: log base 10, ref SQLiteSearcher.java:362
-    )
-
-    postings = (
-        per_term.repartition("term", "shard")
-        .groupBy("term", "shard")
-        .applyInPandas(_make_shard_builder(cfg), schema=POSTINGS_SCHEMA)
     )
 
     docs_proj_cols = [doc_id_col]
