@@ -245,10 +245,19 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--scaling-one" in sys.argv:
+        # single parallelism level in a fresh process (used by
+        # tools/scaling_study.py to decorrelate levels from VM noise)
+        one = int(sys.argv[sys.argv.index("--scaling-one") + 1])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+        print(json.dumps(run_scaling(one, n_docs)))
+        return
+
     if "--scaling" in sys.argv:
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
-        lo = run_scaling(max(cores // 4, 1), n_docs)
-        hi = run_scaling(cores, n_docs)
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", max(cores // 4, 1)))
+        lo = run_scaling(n_lo, n_docs)
+        hi = run_scaling(min(4 * n_lo, cores), n_docs)
         eff = (lo["build_sec"] / hi["build_sec"]) / (
             hi["cores"] / lo["cores"]
         )

@@ -165,6 +165,20 @@ FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_wand_topk(spark, sf_dir):
+    """Block-max WAND path: must be value-identical to bm25_topk (same
+    oracle SQL) — the driver check doubles as the WAND exactness gate."""
+    from search_engine_spark.operators.wand import search_wand
+
+    idx = get_index(spark, sf_dir)
+    return search_wand(idx, " ".join(BM25_TERMS), k=10).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+SQL_WAND_TOPK = SQL_BM25_TOPK
+
+
 def q_bool_and(spark, sf_dir):
     return _spark_search(spark, sf_dir, "scan AND batch")
 
@@ -622,6 +636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "bm25_topk": q_bm25_topk,
+    "wand_topk": q_wand_topk,
     "bool_and": q_bool_and,
     "bool_or": q_bool_or,
     "bool_not": q_bool_not,
@@ -651,6 +666,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_stats": SQL_TERM_STATS,
     "doc_lengths": SQL_DOC_LENGTHS,
     "bm25_topk": SQL_BM25_TOPK,
+    "wand_topk": SQL_WAND_TOPK,
     "bool_and": SQL_BOOL_AND,
     "bool_or": SQL_BOOL_OR,
     "bool_not": SQL_BOOL_NOT,
