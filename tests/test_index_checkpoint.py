@@ -1,0 +1,114 @@
+"""Resumable checkpointed index build (operators/index_checkpoint.py):
+batch manifests, crash/resume, fingerprint invalidation, and equivalence
+with the one-shot build_index path."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import Index, build_index
+from search_engine_spark.operators.index_checkpoint import ResumableIndexBuild
+from search_engine_spark.operators.query import search
+from search_engine_spark.sources.corpus import generate_corpus
+
+CFG = EngineConfig(docs_per_shard=64, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_corpus(spark, 400, seed=5).cache()
+
+
+def _query_results(idx, q="banana recipe hash"):
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(idx, q, k=20).collect()
+    ]
+
+
+def test_resumable_equals_oneshot(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    b = ResumableIndexBuild(corpus, out, cfg=CFG, shards_per_batch=2)
+    idx = b.run()
+    assert idx is not None
+
+    ref = build_index(corpus, cfg=CFG)
+    # same global stats
+    assert idx.n_docs == ref.n_docs
+    assert abs(idx.avgdl - ref.avgdl) < 1e-9
+    # same term_stats
+    a = {
+        (r["term"]): (r["df"], round(r["idf"], 9))
+        for r in idx.term_stats.collect()
+    }
+    e = {
+        (r["term"]): (r["df"], round(r["idf"], 9))
+        for r in ref.term_stats.collect()
+    }
+    assert a == e
+    # same query answers (loads from disk like a fresh process would)
+    loaded = Index.load(spark, out, cfg=CFG)
+    assert _query_results(loaded) == _query_results(ref)
+
+
+def test_crash_resume_and_manifest(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx2")
+    b = ResumableIndexBuild(corpus, out, cfg=CFG, shards_per_batch=2)
+    n_batches = len(b.plan())
+    assert n_batches >= 3
+
+    # "crash" after one batch
+    assert b.run(max_batches=1) is None
+    assert len(b.read_manifest()) == 1
+    assert len(b.pending()) == n_batches - 1
+
+    # resume completes the rest
+    idx = b.run()
+    assert idx is not None
+    manifests = b.read_manifest()
+    assert len(manifests) == n_batches
+
+    # lineage + metrics fields present and sane
+    for m in manifests.values():
+        assert m["n_docs"] > 0
+        assert m["n_postings"] > 0
+        assert m["wall_sec"] > 0
+        assert m["bytes_postings_raw"] > 0
+        assert m["fingerprint"].count(":") == 1
+        lo, hi = m["doc_id_range"]
+        assert hi - lo == 2 * CFG.docs_per_shard
+
+    # build summary written
+    summary = json.load(open(os.path.join(out, "build_summary.json")))
+    assert summary["n_docs"] == 400
+    assert summary["n_batches"] == n_batches
+
+    # idempotent: nothing pending, second run() re-finalizes w/o rebuild
+    assert b.pending() == []
+
+
+def test_fingerprint_invalidation(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx3")
+    b = ResumableIndexBuild(corpus, out, cfg=CFG, shards_per_batch=2)
+    b.run()
+    assert b.pending() == []
+
+    # mutate the content of ONE doc in batch 0 → only batch 0 re-pends
+    mutated = corpus.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 3, F.lit("changed content"))
+        .otherwise(F.col("content")),
+    )
+    b2 = ResumableIndexBuild(mutated, out, cfg=CFG, shards_per_batch=2)
+    pend = b2.pending()
+    assert [p["batch"] for p in pend] == [0]
+
+    # config change invalidates everything
+    b3 = ResumableIndexBuild(
+        corpus, out, cfg=EngineConfig(docs_per_shard=64, stem=False),
+        shards_per_batch=2,
+    )
+    assert len(b3.pending()) == len(b3.plan())
