@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""spark-submit entry: build (or resume) the inverted index.
+
+Deployment mode per the north rule::
+
+    ZIP=$(python -c 'import sys; sys.path.insert(0,"<repo>"); \\
+          from search_engine_spark.session import package_zip; print(package_zip())')
+    spark-submit --py-files "$ZIP" jobs/build_index_job.py \\
+        --input  /path/to/corpus_parquet_or_iceberg \\
+        --output /path/to/index \\
+        [--resumable] [--text-col content] [--doc-id-col doc_id] \\
+        [--docs-per-shard 65536] [--shards-per-batch 64] [--no-stem]
+
+On a cluster, --input may be an Iceberg table ref (catalog.db.tbl) —
+pass --iceberg to read via the table catalog instead of parquet paths.
+The job prints a one-line JSON build report (n_docs, wall seconds,
+docs/sec, and for resumable builds the per-batch manifest summary).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--iceberg", action="store_true")
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--doc-id-col", default="doc_id")
+    ap.add_argument("--docs-per-shard", type=int, default=None)
+    ap.add_argument("--shards-per-batch", type=int, default=64)
+    ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("--no-stopwords", action="store_true")
+    ap.add_argument("--max-batches", type=int, default=None)
+    args = ap.parse_args()
+
+    # Session comes from spark-submit's conf; only fill engine defaults.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("se-build-index").getOrCreate()
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.index_checkpoint import (
+        ResumableIndexBuild,
+    )
+
+    kw = {}
+    if args.docs_per_shard:
+        kw["docs_per_shard"] = args.docs_per_shard
+    cfg = EngineConfig(
+        stem=not args.no_stem,
+        remove_stopwords=not args.no_stopwords,
+        **kw,
+    )
+
+    docs = (
+        spark.read.format("iceberg").load(args.input)
+        if args.iceberg
+        else spark.read.parquet(args.input)
+    )
+
+    t0 = time.perf_counter()
+    if args.resumable:
+        b = ResumableIndexBuild(
+            docs,
+            args.output,
+            cfg=cfg,
+            text_col=args.text_col,
+            doc_id_col=args.doc_id_col,
+            shards_per_batch=args.shards_per_batch,
+        )
+        idx = b.run(max_batches=args.max_batches)
+        report = {
+            "mode": "resumable",
+            "finalized": idx is not None,
+            "batches": len(b.read_manifest()),
+            "pending": len(b.pending()),
+        }
+        if idx is not None:
+            report.update(n_docs=idx.n_docs, avgdl=round(idx.avgdl, 3))
+    else:
+        idx = build_index(
+            docs,
+            text_col=args.text_col,
+            doc_id_col=args.doc_id_col,
+            cfg=cfg,
+        )
+        idx.save(args.output)
+        report = {
+            "mode": "oneshot",
+            "n_docs": idx.n_docs,
+            "avgdl": round(idx.avgdl, 3),
+        }
+    wall = time.perf_counter() - t0
+    report["wall_sec"] = round(wall, 3)
+    if report.get("n_docs"):
+        report["docs_per_sec"] = round(report["n_docs"] / wall, 2)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

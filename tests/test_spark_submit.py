@@ -1,0 +1,85 @@
+"""North-rule deployment mode: the real `spark-submit --py-files` path,
+exercised as subprocesses (separate JVMs, package shipped via the zip —
+workers must never import from the repo checkout)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spark_submit = shutil.which("spark-submit")
+pytestmark = pytest.mark.skipif(
+    spark_submit is None, reason="spark-submit not on PATH"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    p = str(tmp_path_factory.mktemp("ss") / "corpus.parquet")
+    generate_corpus(spark, 120, seed=3).write.parquet(p)
+    return p
+
+
+def _submit(script: str, *args: str) -> str:
+    from search_engine_spark.session import package_zip
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be sufficient
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", script),
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/tmp",  # NOT the repo: imports must come from the zip
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return r.stdout
+
+
+def test_build_then_query_via_spark_submit(corpus_path, tmp_path):
+    out = str(tmp_path / "idx")
+    stdout = _submit(
+        "build_index_job.py",
+        "--input", corpus_path,
+        "--output", out,
+        "--no-stem", "--no-stopwords",
+    )
+    report = json.loads(
+        [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["n_docs"] == 120
+    assert report["mode"] == "oneshot"
+
+    stdout = _submit(
+        "query_job.py",
+        "--index", out,
+        "--query", "banana recipe",
+        "--query", "hash join",
+        "--k", "5",
+        "--wand",
+        "--no-stem", "--no-stopwords",
+    )
+    lines = [json.loads(l) for l in stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    for res in lines:
+        assert res["path"] == "wand"
+        assert len(res["results"]) > 0
+        # scores sorted desc with doc_id tie-break
+        scores = [s for _, s in res["results"]]
+        assert scores == sorted(scores, reverse=True)
