@@ -629,6 +629,51 @@ def q_fingerprint_rolling(spark, sf_dir):
     return fingerprint_rolling(_docs(spark, sf_dir))
 
 
+def q_media_stats(spark, sf_dir):
+    """Multimodal metadata scan over the synthetic binary media column.
+
+    ``attach_fake_media`` builds the payload with pure column algebra
+    (sha2/repeat/substring), so DuckDB can reproduce byte length and
+    magic-sniffed kind exactly; sha256-of-payload parity is asserted in
+    tests/test_multimodal.py (DuckDB's sha256 only takes VARCHAR)."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        media_stats,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return media_stats(media).select("doc_id", "n_bytes", "kind")
+
+
+SQL_MEDIA_STATS = """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+         WHEN doc_id % 3 = 1 THEN '\\x89PNG\\x0D\\x0A'::BLOB
+         ELSE 'RIFF\\x00\\x00'::BLOB END
+      || encode(substr(repeat(sha256(CAST(doc_id AS VARCHAR)), 9), 1, 256))
+      AS media
+  FROM documents
+)
+SELECT doc_id, octet_length(media)::BIGINT AS n_bytes,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+       WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS kind
+FROM m
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary media (rows-only:
+    the stub feature vector is seeded-RNG, not SQL-expressible)."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return extract_features(media, dim=16)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -659,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "fingerprint_rolling": q_fingerprint_rolling,
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -685,4 +732,5 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "events_recent": SQL_EVENTS_RECENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "media_stats": SQL_MEDIA_STATS,
 }

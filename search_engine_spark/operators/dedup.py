@@ -151,6 +151,10 @@ def minhash_signatures(
     """(doc_id, sig_0..sig_{K-1}): K independent min-hashes, each the
     lexicographic min of md5("<seed>#"+shingle) over the doc's shingles."""
     sh = doc_shingles(df, text_col, id_col, n)
+    return _minhash_from_shingles(sh, num_hashes)
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(
             f"sig_{i}"
@@ -170,8 +174,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Banded-LSH near-dup pairs: candidates share at least one min-hash
     band (band size 1 here: P[collide] = jaccard per band), then exact
-    Jaccard verification >= threshold. Returns (doc_a, doc_b, jaccard)."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    Jaccard verification >= threshold. Returns (doc_a, doc_b, jaccard).
+
+    The shingle set is computed ONCE and shared by the signature and
+    verify stages (persisted; at 100 TB this would be a written
+    intermediate table instead — same plan shape)."""
+    sh = doc_shingles(df, text_col, id_col, n).persist()
+    sigs = _minhash_from_shingles(sh, num_hashes)
     # stack the K signatures into (band, value, doc_id) rows, bucket-join
     stacked = sigs.select(
         "doc_id",
@@ -201,8 +210,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only
-    sh = doc_shingles(df, text_col, id_col, n).persist()
+    # exact verify on candidates only (reuses the persisted shingle set)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
