@@ -662,6 +662,63 @@ FROM m
 """
 
 
+def q_snippets(spark, sf_dir):
+    """Result-snippet generation (reference BackendManager.java:121-276)
+    as pure column algebra — first-hit window + query-word highlight."""
+    from search_engine_spark.operators.snippets import make_snippets
+
+    return make_snippets(_docs(spark, sf_dir), BM25_TERMS, width=150)
+
+
+SQL_SNIPPETS = r"""
+WITH h AS (
+  SELECT doc_id, text,
+    least(
+      CASE WHEN strpos(lower(text), 'hash') > 0 THEN strpos(lower(text),'hash') END,
+      CASE WHEN strpos(lower(text), 'join') > 0 THEN strpos(lower(text),'join') END,
+      CASE WHEN strpos(lower(text), 'window') > 0 THEN strpos(lower(text),'window') END
+    ) AS first
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(substr(text, greatest(1, coalesce(first,1) - 75), 150),
+                 '(?i)\b(hash|join|window)\b', '**\1**', 'g') AS snippet
+FROM h
+"""
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force baseline (oracle
+    anchor); the LSH-bucketed scale path is checked for recall in
+    pytest and registered rows-only as embed_dup_lsh."""
+    from search_engine_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SQL_EMBED_DUP_PAIRS = """
+WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+"""
+
+
+def q_embed_dup_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup (rows-only: LSH recall < 1)."""
+    from search_engine_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = _table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_dup_pairs_lsh(
+        emb, dim=dim, threshold=0.4, n_planes=4
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_media_features(spark, sf_dir):
     """mapInPandas feature extraction over binary media (rows-only:
     the stub feature vector is seeded-RNG, not SQL-expressible)."""
@@ -706,6 +763,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "snippets": q_snippets,
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_dup_lsh": q_embed_dup_lsh,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -733,4 +793,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_recent": SQL_EVENTS_RECENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "media_stats": SQL_MEDIA_STATS,
+    "snippets": SQL_SNIPPETS,
+    "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
 }

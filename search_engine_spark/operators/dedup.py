@@ -328,3 +328,89 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (the vector-space member of the dedup family)
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All embedding pairs (id_a < id_b) with cosine >= threshold.
+
+    Brute-force O(n²) self-join — the *correctness baseline / oracle
+    anchor*. Never run this shape at 100 TB; use
+    ``embedding_dup_pairs_lsh`` (bucket-local join) there. Cosine is a
+    JVM fold (``zip_with``/``aggregate``) — no Python on the hot path.
+    Reference parity: the dedup family mirrors the content-hash gate at
+    Crawler.java:542-555, lifted to vector space."""
+    from search_engine_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_array,
+    )
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        _norm(as_double_array(F.col(vec_col))).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: candidate pairs only within the same sign-LSH bucket
+    (narrow bucket assignment, then a bucket-keyed equi-join — the
+    shuffle is on ``bucket``, so each task joins one bucket locally),
+    exact-cosine verified. Trades recall for n²→Σ|bucket|² work; recall
+    vs the brute-force baseline is pinned in tests."""
+    from search_engine_spark.operators.similarity import lsh_assign_buckets
+
+    bucketed = lsh_assign_buckets(
+        emb, dim=dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", vec_col, "bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col(f"a.{vec_col}").alias("va"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col(f"b.{vec_col}").alias("vb"),
+    )
+    from search_engine_spark.operators.similarity import (
+        _dot,
+        _norm,
+        as_double_array,
+    )
+
+    va, vb = as_double_array(F.col("va")), as_double_array(F.col("vb"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,102 @@
+"""Embedding-cosine near-dup (brute + LSH-bucketed) and snippet
+generation: correctness vs independent numpy/python recomputation,
+LSH recall vs the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+)
+from search_engine_spark.operators.snippets import make_snippets
+
+DIM = 8
+N = 80
+THRESH = 0.6
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # clustered vectors: 8 centroids + small noise → plenty of near-dups
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((8, DIM))
+    vecs = cents[np.arange(N) % 8] + 0.15 * rng.standard_normal((N, DIM))
+    rows = [
+        (int(i), [float(x) for x in vecs[i]]) for i in range(N)
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+@pytest.fixture(scope="module")
+def numpy_pairs(emb):
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    vecs = np.stack([v for _, v in rows])
+    sims = (vecs @ vecs.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None]
+        * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    out = {}
+    for i in range(N):
+        for j in range(i + 1, N):
+            if sims[i, j] >= THRESH:
+                out[(i, j)] = sims[i, j]
+    return out
+
+
+def test_brute_pairs_match_numpy(emb, numpy_pairs):
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(emb, threshold=THRESH).collect()
+    }
+    assert set(got) == set(numpy_pairs)
+    for k, v in got.items():
+        assert abs(v - numpy_pairs[k]) < 1e-9
+
+
+def test_lsh_pairs_subset_with_recall(emb, numpy_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_lsh(
+            emb, dim=DIM, threshold=THRESH, n_planes=4
+        ).collect()
+    }
+    assert got <= set(numpy_pairs)  # no false positives (exact verify)
+    recall = len(got) / len(numpy_pairs)
+    assert recall >= 0.5, recall  # clustered data: same bucket often
+
+
+def test_snippets_window_and_highlight(spark):
+    rows = [
+        (0, "alpha beta gamma delta " * 20 + "needle in the stack"),
+        (1, "no hits here at all"),
+        (2, "Needle first then filler " + "x " * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r.snippet
+        for r in make_snippets(df, ["needle"], width=60).collect()
+    }
+    # hit centred: window starts 30 chars before the hit
+    assert "**needle**" in out[0]
+    assert len(out[0]) <= 60 + len("****")
+    # miss → document head, unhighlighted
+    assert out[1] == "no hits here at all"
+    # case-insensitive match, original casing preserved in highlight
+    assert out[2].startswith("**Needle**")
+
+
+def test_snippets_multiword_first_hit(spark):
+    df = spark.createDataFrame(
+        [(0, "zzz " * 50 + "join here and hash there")],
+        "doc_id: long, text: string",
+    )
+    (snip,) = [
+        r.snippet for r in make_snippets(df, ["hash", "join"], width=40).collect()
+    ]
+    # earliest of the two words anchors the window
+    assert "**join**" in snip
