@@ -141,6 +141,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def doc_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shs: array<string>, n_sh): the distinct shingle SET per
+    doc, built entirely narrow (``array_distinct`` instead of
+    explode→distinct→collect) — zero shuffles, stays in whole-stage
+    codegen. Docs with < n tokens yield no row (same as the exploded
+    form). Array size is bounded by doc length, so per-row memory is
+    bounded at 100 TB too."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingle_array(toks, n)).alias("shs"),
+        )
+        .where(F.size("shs") > 0)
+        .withColumn("n_sh", F.size("shs"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -149,19 +172,26 @@ def minhash_signatures(
     num_hashes: int = 8,
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{K-1}): K independent min-hashes, each the
-    lexicographic min of md5("<seed>#"+shingle) over the doc's shingles."""
-    sh = doc_shingles(df, text_col, id_col, n)
-    return _minhash_from_shingles(sh, num_hashes)
+    lexicographic min of md5("<seed>#"+shingle) over the doc's shingle
+    set. Computed narrowly from the per-doc shingle array
+    (transform + array_min) — no shuffle at all."""
+    return _minhash_from_sets(
+        doc_shingle_sets(df, text_col, id_col, n), num_hashes
+    ).drop("shs", "n_sh")
 
 
-def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(
-            f"sig_{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _minhash_from_sets(sets: DataFrame, num_hashes: int) -> DataFrame:
+    def sig(i: int) -> Column:
+        # NB: the transform lambda must be single-argument — a second
+        # parameter would be bound to the array index by Spark
+        prefix = f"{i}#"
+        return F.array_min(
+            F.transform(
+                F.col("shs"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+            )
+        ).alias(f"sig_{i}")
+
+    return sets.select("*", *[sig(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -176,11 +206,15 @@ def minhash_lsh_pairs(
     band (band size 1 here: P[collide] = jaccard per band), then exact
     Jaccard verification >= threshold. Returns (doc_a, doc_b, jaccard).
 
-    The shingle set is computed ONCE and shared by the signature and
-    verify stages (persisted; at 100 TB this would be a written
-    intermediate table instead — same plan shape)."""
-    sh = doc_shingles(df, text_col, id_col, n).persist()
-    sigs = _minhash_from_shingles(sh, num_hashes)
+    Plan shape at scale: shingle sets AND signatures are computed in one
+    narrow pass over the corpus (no shuffle until the band self-join);
+    verification joins the small candidate set back to the per-doc
+    shingle arrays and intersects JVM-side (``array_intersect``), so the
+    only wide exchanges are the band bucket-join and two doc_id-keyed
+    lookups. The per-doc set table is persisted (at 100 TB: a written
+    intermediate, same shape)."""
+    sets = doc_shingle_sets(df, text_col, id_col, n).persist()
+    sigs = _minhash_from_sets(sets, num_hashes)
     # stack the K signatures into (band, value, doc_id) rows, bucket-join
     stacked = sigs.select(
         "doc_id",
@@ -210,27 +244,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only (reuses the persisted shingle set)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # exact verify on candidates only: two doc_id-keyed lookups into the
+    # per-doc shingle arrays, then a codegen'd array_intersect — no
+    # shingle-level shuffle
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("na"),
     )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
