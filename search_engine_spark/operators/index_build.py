@@ -192,6 +192,100 @@ def _make_shard_builder(cfg: EngineConfig):
     return build_shard
 
 
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tf_enc", T.BinaryType()),
+        T.StructField("bm25_tf_enc", T.BinaryType()),
+        T.StructField("pos_enc", T.BinaryType()),
+        T.StructField("block_max", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_codec_udf(cfg: EngineConfig):
+    """Scalar Arrow UDF: per (term, shard) row, numpy-vectorized codec
+    over already-columnar posting arrays. The per-posting work stays in
+    numpy (delta/varint, float32 pack); Python only loops over ROWS."""
+    block = cfg.block_size
+
+    @F.pandas_udf(_ENC_SCHEMA)
+    def encode(
+        ids: pd.Series, tfs: pd.Series, bms: pd.Series, poss: pd.Series
+    ) -> pd.DataFrame:
+        out: dict[str, list] = {k.name: [] for k in _ENC_SCHEMA.fields}
+        for i in range(len(ids)):
+            a = np.asarray(ids.iloc[i], dtype=np.int64)
+            t = np.asarray(tfs.iloc[i], dtype=np.float64)
+            bm = np.asarray(bms.iloc[i], dtype=np.float64)
+            nb = (a.size + block - 1) // block
+            out["doc_ids_enc"].append(codec.delta_encode_ids(a))
+            out["tf_enc"].append(codec.encode_tfs(t))
+            out["bm25_tf_enc"].append(codec.encode_tfs(bm))
+            out["pos_enc"].append(codec.encode_positions(list(poss.iloc[i])))
+            out["block_max"].append(
+                [float(bm[j * block : (j + 1) * block].max()) for j in range(nb)]
+            )
+        return pd.DataFrame(out)
+
+    return encode
+
+
+def merge_postings(per_term: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(doc_id, term, tf, tf_norm, bm25_tf, positions, shard) →
+    POSTINGS_SCHEMA rows, one per (term, shard).
+
+    The posting arrays are assembled entirely JVM-side
+    (``sort_array(collect_list(struct(...)))`` — Tungsten hash
+    aggregate; struct ordering is lexicographic by field, and doc_id is
+    the first field, so the sort IS the doc-id sort). Python is entered
+    only for the codec binaries, via a scalar Arrow UDF whose inputs are
+    plain numeric arrays (field extraction ``postings.doc_id`` etc. is a
+    narrow JVM transform) — no per-posting Python objects are ever
+    built, which is what made the old applyInPandas builder the scaling
+    bottleneck on fat Zipfian groups."""
+    grouped = per_term.groupBy("term", "shard").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("doc_id", "tf", "tf_norm", "bm25_tf", "positions")
+            )
+        ).alias("postings")
+    )
+    arrays_col = (
+        F.col("postings")
+        if cfg.store_arrays
+        else F.lit(None).cast(POSTINGS_SCHEMA["postings"].dataType)
+    )
+    cols = grouped.select(
+        "term",
+        "shard",
+        F.size("postings").cast("long").alias("n_postings"),
+        F.element_at(F.col("postings.doc_id"), 1).alias("min_doc_id"),
+        F.element_at(F.col("postings.doc_id"), -1).alias("max_doc_id"),
+        F.array_max(F.col("postings.bm25_tf")).alias("max_bm25_tf"),
+        arrays_col.alias("postings"),
+        F.col("postings.doc_id").alias("_ids"),
+        F.col("postings.tf").alias("_tfs"),
+        F.col("postings.bm25_tf").alias("_bms"),
+        F.col("postings.positions").alias("_poss"),
+    )
+    enc = _make_codec_udf(cfg)("_ids", "_tfs", "_bms", "_poss")
+    return cols.withColumn("_enc", enc).select(
+        "term",
+        "shard",
+        "n_postings",
+        "min_doc_id",
+        "max_doc_id",
+        "max_bm25_tf",
+        "postings",
+        F.col("_enc.doc_ids_enc").alias("doc_ids_enc"),
+        F.col("_enc.tf_enc").alias("tf_enc"),
+        F.col("_enc.bm25_tf_enc").alias("bm25_tf_enc"),
+        F.col("_enc.pos_enc").alias("pos_enc"),
+        F.col("_enc.block_max").alias("block_max"),
+    )
+
+
 def build_index(
     docs: DataFrame,
     text_col: str = "content",
@@ -242,12 +336,8 @@ def build_index(
         )
     )
 
-    # groupBy(term, shard) is the ONLY wide exchange over token-level data;
-    # applyInPandas's ClusteredDistribution requirement drives the hash
-    # exchange directly — no separate repartition needed.
-    postings = per_term.groupBy("term", "shard").applyInPandas(
-        _make_shard_builder(cfg), schema=POSTINGS_SCHEMA
-    )
+    # groupBy(term, shard) is the ONLY wide exchange over token-level data.
+    postings = merge_postings(per_term, cfg)
 
     # df/idf derive from the (tiny) per-shard posting counts — one row per
     # (term, shard) — instead of a second full pass over the token rows.

@@ -62,7 +62,7 @@ from search_engine_spark.operators import codec
 from search_engine_spark.operators.index_build import (
     POSTINGS_SCHEMA,
     Index,
-    _make_shard_builder,
+    merge_postings,
 )
 from search_engine_spark.operators.tokenize import tokenize_docs
 
@@ -241,9 +241,7 @@ class ResumableIndexBuild:
         raw_path = os.path.join(
             self.out, "postings_raw", f"batch={b['batch']}"
         )
-        raw = per_term.groupBy("term", "shard").applyInPandas(
-            _make_shard_builder(self.cfg), schema=POSTINGS_SCHEMA
-        )
+        raw = merge_postings(per_term, self.cfg)
         raw.write.mode("overwrite").parquet(raw_path)
 
         spark = self.docs.sparkSession
