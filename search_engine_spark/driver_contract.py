@@ -719,6 +719,42 @@ def q_embed_dup_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_url_normalize(spark, sf_dir):
+    """T8 URL normalization (ref Crawler.java:491-529) over URLs
+    synthesized deterministically from doc_id. The oracle states the
+    expected canonical form in closed form — an independent derivation
+    of the same answer."""
+    from search_engine_spark.operators.urls import normalize_url
+
+    raw = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Files/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_source=x&page=2"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_url(raw).alias("url_norm")
+    )
+
+
+SQL_URL_NORMALIZE = """
+SELECT doc_id,
+  'http://example' || (doc_id % 7) || '.com/Files/' || doc_id ||
+  CASE WHEN doc_id % 3 = 0 THEN '?id=' || doc_id || '&page=2' ELSE '' END
+  AS url_norm
+FROM documents
+"""
+
+
 def q_media_features(spark, sf_dir):
     """mapInPandas feature extraction over binary media (rows-only:
     the stub feature vector is seeded-RNG, not SQL-expressible)."""
@@ -766,6 +802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets": q_snippets,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_dup_lsh": q_embed_dup_lsh,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -795,4 +832,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_stats": SQL_MEDIA_STATS,
     "snippets": SQL_SNIPPETS,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
+    "url_normalize": SQL_URL_NORMALIZE,
 }

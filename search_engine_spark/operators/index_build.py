@@ -7,7 +7,9 @@ Replaces the reference's row-per-posting SQLite insert pipeline
   tokenize (map-side per-doc agg, zero shuffle)
     -> explode to (doc_id, term, tf, positions)          [narrow]
     -> shard = doc_id // docs_per_shard                  [narrow]
-    -> repartition(term, shard) -> applyInPandas merge   [ONE shuffle]
+    -> groupBy(term, shard) collect_list+sort_array      [ONE shuffle,
+       Tungsten hash aggregate — posting arrays never touch Python]
+    -> scalar Arrow UDF over the columnar arrays for the codec only
     -> postings table: one row per (term, shard): sorted doc-id run,
        delta+varint codec, float32 tfs, block-max metadata for WAND
   plus df/idf/doc-length stats as separate small aggregates.
@@ -136,60 +138,6 @@ class Index:
             avgdl=float(meta["avgdl"]),
             cfg=cfg,
         )
-
-
-def _make_shard_builder(cfg: EngineConfig):
-    block = cfg.block_size
-    store_arrays = cfg.store_arrays
-
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.float64)
-        tf_norms = pdf["tf_norm"].to_numpy(dtype=np.float64)
-        bm25_tfs = pdf["bm25_tf"].to_numpy(dtype=np.float64)
-        pos_lists = pdf["positions"].tolist()
-        n = doc_ids.size
-        # block-max over bm25_tf for WAND pruning
-        nblocks = (n + block - 1) // block
-        bmax = [
-            float(bm25_tfs[b * block : (b + 1) * block].max())
-            for b in range(nblocks)
-        ]
-        postings = (
-            [
-                {
-                    "doc_id": int(d),
-                    "tf": float(t),
-                    "tf_norm": float(tn),
-                    "bm25_tf": float(bt),
-                    "positions": [int(p) for p in pl],
-                }
-                for d, t, tn, bt, pl in zip(
-                    doc_ids, tfs, tf_norms, bm25_tfs, pos_lists
-                )
-            ]
-            if store_arrays
-            else None
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "n_postings": [n],
-                "min_doc_id": [int(doc_ids[0])],
-                "max_doc_id": [int(doc_ids[-1])],
-                "max_bm25_tf": [float(bm25_tfs.max())],
-                "postings": [postings],
-                "doc_ids_enc": [codec.delta_encode_ids(doc_ids)],
-                "tf_enc": [codec.encode_tfs(tfs)],
-                "bm25_tf_enc": [codec.encode_tfs(bm25_tfs)],
-                "pos_enc": [codec.encode_positions(pos_lists)],
-                "block_max": [bmax],
-            }
-        )
-
-    return build_shard
 
 
 _ENC_SCHEMA = T.StructType(

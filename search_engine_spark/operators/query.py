@@ -222,3 +222,63 @@ def search_many(
             search(index, q, k=k, mode=mode).withColumn("query", F.lit(q))
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+class QueryCache:
+    """Q12 (ref QP.java:25-37): access-ordered LRU over materialized
+    query results, 1000 entries like the reference. Driver-side by
+    design — the cache stores collected top-k rows, not DataFrames, so a
+    hit does zero cluster work (the reference's <5 ms cached-query
+    path). Keyed on (query, k, mode)."""
+
+    def __init__(self, index: Index, maxsize: int = 1000):
+        from collections import OrderedDict
+
+        self.index = index
+        self.maxsize = maxsize
+        self._d = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def search(self, query: str, k: int | None = None, mode: str = "bm25"):
+        key = (query, k, mode)
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        rows = search(self.index, query, k=k, mode=mode).collect()
+        self._d[key] = rows
+        if len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+        return rows
+
+
+def total_count(index: Index, query: str) -> int:
+    """Q13 (ref BackendManager.java:96-119): COUNT(DISTINCT doc_id) over
+    the query's candidate set. (Dead code in the reference — search()
+    uses documents.size() instead — kept for API parity.)"""
+    op, left, right = detect_operator(query)
+    matches = component_matches(index, left)
+    if op is not None:
+        rm = component_matches(index, right)
+        matches = {
+            "AND": combine_and,
+            "NOT": combine_not,
+            "OR": combine_or,
+        }[op](matches, rm)
+    return matches.select("doc_id").distinct().count()
+
+
+def attach_doc_metadata(
+    results: DataFrame, docs: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """R6 (ref BackendManager.java:358-396): join result rows back to the
+    document table for display columns, preserving rank order. The
+    reference emulates order-preservation with ORDER BY CASE; here the
+    score column rides along and a final orderBy restores rank."""
+    cols = cols or [c for c in ("repo", "path", "url", "title") if c in docs.columns]
+    out = results.join(
+        docs.select("doc_id", *cols), "doc_id", "left"
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))

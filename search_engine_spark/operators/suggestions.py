@@ -47,3 +47,51 @@ def query_log_recent(
     return query_log.where(
         F.col("last_added") > F.lit(max_ts) - F.expr(f"INTERVAL {hours} HOURS")
     ).select("query", "count")
+
+
+class Trie:
+    """U2 (ref Trie.java:15-72): prefix trie with the top-10-by-frequency
+    list materialized at every node. Driver-side helper over the (small)
+    distinct-term vocabulary — kept for API parity with the reference;
+    the DataFrame path (``prefix_suggest``) is the production route.
+    ``insert`` with a new frequency REPLACES the word's entry along the
+    prefix path (reference updates frequency the same way)."""
+
+    TOP_K = 10
+
+    def __init__(self) -> None:
+        self.children: dict[str, "Trie"] = {}
+        self.word_end = False
+        self.top: list[tuple[str, int]] = []
+
+    def _note(self, word: str, freq: int) -> None:
+        self.top = [(w, f) for w, f in self.top if w != word]
+        self.top.append((word, freq))
+        self.top.sort(key=lambda wf: (-wf[1], wf[0]))
+        del self.top[self.TOP_K :]
+
+    def insert(self, word: str, freq: int = 1) -> None:
+        node = self
+        node._note(word, freq)
+        for ch in word:
+            node = node.children.setdefault(ch, Trie())
+            node._note(word, freq)
+        node.word_end = True
+
+    def suggest(self, prefix: str) -> list[str]:
+        node = self
+        for ch in prefix:
+            node = node.children.get(ch)
+            if node is None:
+                return []
+        return [w for w, _ in node.top]
+
+
+def trie_from_terms(term_stats: DataFrame) -> Trie:
+    """Build the U2 trie from the term_stats table (term, df): frequency
+    = document frequency. collect() is deliberate — the vocabulary is
+    orders of magnitude smaller than the corpus."""
+    t = Trie()
+    for r in term_stats.select("term", "df").collect():
+        t.insert(r["term"], int(r["df"]))
+    return t

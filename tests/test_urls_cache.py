@@ -1,0 +1,103 @@
+"""T8 URL normalization, T9 link extraction, Q12 LRU query cache."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.urls import extract_links, normalize_url
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    return [r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+
+
+def test_normalize_url_reference_cases(spark):
+    got = _norm(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/Path/To/Page/",
+            "https://Example.com:443/a",
+            "https://example.com:8080/a",          # non-default port kept
+            "http://example.com/search?q=x&utm_source=t&page=3",
+            "http://example.com/?nope=1",          # all params dropped
+            "ftp://example.com/file",              # non-http → null
+            "http://example.com",                  # no path
+        ],
+    )
+    assert got == [
+        "http://www.example.com/Path/To/Page",    # host lowered, path case kept
+        "https://example.com/a",
+        "https://example.com:8080/a",
+        "http://example.com/search?q=x&page=3",   # whitelist, order kept
+        "http://example.com",
+        None,
+        "http://example.com",
+    ]
+
+
+def test_extract_links_cap_and_normalize(spark):
+    many = " ".join(f"see http://Site.com:80/p{i}/" for i in range(15))
+    df = spark.createDataFrame(
+        [(0, many), (1, "no links here"), (2, 'x "https://a.b/c?id=1&z=2" y')],
+        "doc_id: long, text: string",
+    )
+    out = extract_links(df, max_links=10)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.link)
+    assert len(by_doc[0]) == 10                    # reference per-doc cap
+    assert by_doc[0][0] == "http://site.com/p0"
+    assert 1 not in by_doc
+    assert by_doc[2] == ["https://a.b/c?id=1"]
+
+
+def test_query_cache_lru(spark, spark_index):
+    from search_engine_spark.operators.query import QueryCache
+
+    qc = QueryCache(spark_index, maxsize=2)
+    r1 = qc.search("banana recipe", k=3)
+    r2 = qc.search("banana recipe", k=3)
+    assert r1 is r2 and qc.hits == 1 and qc.misses == 1
+    qc.search("banana", k=3)
+    qc.search("recipe", k=3)  # evicts "banana recipe" (maxsize=2)
+    assert ("banana recipe", 3, "bm25") not in qc._d
+    # re-query repopulates with identical results
+    r3 = qc.search("banana recipe", k=3)
+    assert [(x.doc_id, x.score) for x in r3] == [
+        (x.doc_id, x.score) for x in r1
+    ]
+
+
+def test_trie_topk_and_update():
+    from search_engine_spark.operators.suggestions import Trie
+
+    t = Trie()
+    for w, f in [("banana", 5), ("band", 9), ("bandit", 2), ("cat", 1)]:
+        t.insert(w, f)
+    assert t.suggest("ban") == ["band", "banana", "bandit"]
+    assert t.suggest("bana") == ["banana"]
+    assert t.suggest("zzz") == []
+    t.insert("banana", 20)  # frequency update replaces, not duplicates
+    assert t.suggest("ban") == ["banana", "band", "bandit"]
+
+
+def test_total_count_and_metadata(spark, spark_index, corpus_df):
+    from search_engine_spark.operators.query import (
+        attach_doc_metadata,
+        search,
+        total_count,
+    )
+
+    n_and = total_count(spark_index, "banana AND recipe")
+    n_or = total_count(spark_index, "banana OR recipe")
+    n_banana = total_count(spark_index, "banana")
+    assert 0 < n_and <= n_banana <= n_or
+
+    res = search(spark_index, "banana", k=5)
+    out = attach_doc_metadata(res, corpus_df.withColumnRenamed("doc_id", "doc_id"))
+    rows = out.collect()
+    assert len(rows) == 5
+    assert "path" in out.columns and "repo" in out.columns
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
