@@ -57,6 +57,12 @@ class EngineConfig:
     pagerank_epsilon: float = 1e-5
     pagerank_max_iter: int = 100
     pagerank_checkpoint_every: int = 5
+    # size-based physical-strategy switch (the reference does the same for
+    # ranking, Ranker.java:20): below this node count the identical
+    # fixpoint runs driver-side in numpy — per-iteration Spark job
+    # overhead dwarfs the math on small graphs. Above it, the
+    # iterative-DataFrame loop runs distributed.
+    pagerank_local_threshold: int = 200_000
 
     # --- misc ---
     topk_default: int = 10

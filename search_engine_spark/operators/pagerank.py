@@ -47,6 +47,53 @@ def edges_from_links(links: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def _pagerank_local(
+    spark, edges: DataFrame, nodes: DataFrame, n: int, cfg: EngineConfig
+) -> DataFrame:
+    """Driver-side numpy fixpoint — same update rule and ε criterion as
+    the distributed loop (G2: teleport + d·(in-sum + dangling/N), max
+    all-node delta ≤ ε), chosen when the graph fits comfortably on the
+    driver. One scatter-add per iteration instead of one Spark job."""
+    import numpy as np
+
+    node_ids = np.array(
+        [r["doc_id"] for r in nodes.collect()], dtype=np.int64
+    )
+    node_ids.sort()
+    pos = {int(v): i for i, v in enumerate(node_ids)}
+    e = edges.collect()
+    # out-degree counts EVERY edge leaving a node (even to targets
+    # outside the node set), matching the distributed loop's
+    # groupBy(src).count(); only contributions to known nodes land.
+    out_deg = np.zeros(n, dtype=np.float64)
+    keep = []
+    for r in e:
+        s = pos.get(r["src"])
+        if s is None:
+            continue
+        out_deg[s] += 1.0
+        t = pos.get(r["dst"])
+        if t is not None:
+            keep.append((s, t))
+    src = np.array([s for s, _ in keep], dtype=np.int64)
+    dst = np.array([t for _, t in keep], dtype=np.int64)
+    d, eps = cfg.pagerank_damping, cfg.pagerank_epsilon
+    rank = np.full(n, 1.0 / n)
+    for _ in range(cfg.pagerank_max_iter):
+        dangling = float(rank[out_deg == 0].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        new = (1.0 - d) / n + d * (contrib + dangling / n)
+        if float(np.abs(new - rank).max()) <= eps:
+            rank = new
+            break
+        rank = new
+    return spark.createDataFrame(
+        [(int(i), float(r)) for i, r in zip(node_ids, rank)],
+        "doc_id: long, page_rank: double",
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -80,6 +127,9 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("page_rank", F.lit(0.0))
 
+    if n <= cfg.pagerank_local_threshold:
+        return _pagerank_local(spark, edges, nodes, n, cfg)
+
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # node table with out-degree (0 for dangling) — partitioned by id once;
     # the edge table is pre-partitioned by src so the per-iteration join of
@@ -99,14 +149,14 @@ def pagerank(
 
     ranks = base.select("doc_id", "out_deg", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint()
+    dangling = (
+        ranks.where(F.col("out_deg") == 0)
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+        or 0.0
+    )
 
     for it in range(cfg.pagerank_max_iter):
-        dangling = (
-            ranks.where(F.col("out_deg") == 0)
-            .agg(F.sum("rank").alias("s"))
-            .collect()[0]["s"]
-            or 0.0
-        )
         contribs = (
             edges.join(ranks, edges["src"] == ranks["doc_id"])
             .select(
@@ -132,12 +182,20 @@ def pagerank(
         # to the corpus and this also materializes it for the convergence
         # agg, so each iteration stays O(1) plan depth.
         new_ranks = new_ranks.localCheckpoint()
-        delta = (
+        # ONE job per iteration: convergence delta and the NEXT
+        # iteration's dangling mass come out of the same aggregation
+        row = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), "doc_id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("m"))
-            .collect()[0]["m"]
+            .agg(
+                F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("m"),
+                F.sum(
+                    F.when(F.col("n.out_deg") == 0, F.col("n.rank"))
+                ).alias("s"),
+            )
+            .collect()[0]
         )
+        delta, dangling = row["m"], row["s"] or 0.0
         ranks = new_ranks
         if delta is not None and delta <= eps:
             break

@@ -93,3 +93,25 @@ def test_end_to_end_rank_mix(spark, corpus_df, oracle_idx):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-6), (gd, gs, ws)
+
+
+def test_distributed_path_matches_local(spark):
+    """Force the iterative-DataFrame loop (threshold=0) and check it
+    agrees with the driver-side numpy path to float tolerance."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+    dist_cfg = EngineConfig(pagerank_local_threshold=0)
+    dist = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(edges, nodes, cfg=dist_cfg).collect()
+    }
+    loc = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(edges, nodes).collect()
+    }
+    assert set(dist) == set(loc)
+    for k in dist:
+        assert math.isclose(dist[k], loc[k], rel_tol=0, abs_tol=5e-5), k
