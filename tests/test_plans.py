@@ -1,0 +1,79 @@
+"""Physical-plan audits: the properties that make the engine scale are
+asserted, not assumed. If a refactor breaks predicate pushdown, column
+pruning, the broadcast strategy, or the top-k operator, these fail."""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, corpus_df, tmp_path_factory):
+    from search_engine_spark.operators.index_build import Index, build_index
+
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(corpus_df).save(d)
+    return Index.load(spark, d)
+
+
+def test_search_plan_properties(saved_index):
+    from search_engine_spark.operators.query import search
+
+    plan = _plan(search(saved_index, "banana recipe", k=10))
+    # top-k is TakeOrderedAndProject — never a global sort materialization
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    # query terms reach the parquet scan as pushed filters
+    assert "PushedFilters: [In(term" in plan
+    # column pruning: the codec binaries are NOT read for scoring
+    assert "doc_ids_enc" not in plan
+    # idf side is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # scoring path is pure JVM — no Python workers
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_scan_column_pruning(saved_index):
+    from pyspark.sql import functions as F
+
+    df = saved_index.postings.filter(F.col("term") == "banana").select(
+        "term", "n_postings"
+    )
+    plan = _plan(df)
+    assert "ReadSchema: struct<term:string,n_postings:bigint>" in plan
+    assert "EqualTo(term,banana)" in plan
+
+
+def test_snippets_and_urls_stay_jvm(spark, corpus_df, tmp_path_factory):
+    from search_engine_spark.operators.snippets import make_snippets
+    from search_engine_spark.operators.urls import extract_links
+
+    # materialize the corpus first — the synthetic GENERATOR is
+    # mapInPandas, which would otherwise show up in the plan
+    d = str(tmp_path_factory.mktemp("docs"))
+    corpus_df.write.mode("overwrite").parquet(d)
+    docs = spark.read.parquet(d)
+    p1 = _plan(make_snippets(docs, ["banana"], text_col="content"))
+    p2 = _plan(extract_links(docs, text_col="content"))
+    for p in (p1, p2):
+        assert "Python" not in p and "InPandas" not in p
+
+
+def test_build_has_single_wide_exchange_over_tokens(spark, corpus_df):
+    """The index build shuffles token-scale data exactly once: the
+    groupBy(term, shard) aggregate. (Small stats aggs land on already
+    tiny data and AQE may add reads, so we count exchanges feeding the
+    posting aggregate path in the analyzed plan string.)"""
+    from search_engine_spark.operators.index_build import build_index
+
+    idx = build_index(corpus_df)
+    plan = _plan(idx.postings)
+    # the token-level exchange exists...
+    assert "hashpartitioning(term" in plan
+    # ...and posting-array assembly is JVM-side: exactly two scalar Arrow
+    # UDFs touch Python (tokenize + codec), never applyInPandas
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("ArrowEvalPython") == 2
