@@ -16,6 +16,7 @@ Porter-fixed-points, so the same strings work under either analyzer.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -719,6 +720,47 @@ def q_embed_dup_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_streaming_topk(spark, sf_dir):
+    """Same BM25 top-k as bm25_topk, but the index is built by the
+    Structured-Streaming incremental ingest (readStream → foreachBatch
+    batches → finalize) instead of the one-shot batch builder — the
+    oracle SQL is identical, so this pins stream-built == SQL-exact."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators.index_build import Index
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.streaming.incremental import (
+        StreamingIndexIngest,
+    )
+
+    work = tempfile.mkdtemp(prefix="se_stream_gate_")
+    try:
+        src_dir = os.path.join(work, "corpus")
+        os.makedirs(src_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        ingest = StreamingIndexIngest(
+            spark,
+            src_dir,
+            os.path.join(work, "idx"),
+            cfg=SIMPLE_CFG,
+            text_col="text",
+        )
+        ingest.process_available()
+        idx = ingest.finalize()
+        idx.postings = idx.postings.persist()
+        out = search(idx, " ".join(BM25_TERMS), k=10).select(
+            "doc_id", F.round("score", 5).alias("score")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_url_normalize(spark, sf_dir):
     """T8 URL normalization (ref Crawler.java:491-529) over URLs
     synthesized deterministically from doc_id. The oracle states the
@@ -803,6 +845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_dup_lsh": q_embed_dup_lsh,
     "url_normalize": q_url_normalize,
+    "streaming_topk": q_streaming_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -833,4 +876,5 @@ ORACLE_SQL: dict[str, str] = {
     "snippets": SQL_SNIPPETS,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
     "url_normalize": SQL_URL_NORMALIZE,
+    "streaming_topk": SQL_BM25_TOPK,
 }

@@ -129,13 +129,7 @@ class ResumableIndexBuild:
         return os.path.join(self.manifest_dir, f"batch_{batch}.json")
 
     def read_manifest(self) -> dict[int, dict]:
-        out = {}
-        for f in os.listdir(self.manifest_dir):
-            if f.startswith("batch_") and f.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, f)) as fh:
-                    m = json.load(fh)
-                out[int(m["batch"])] = m
-        return out
+        return read_manifests(self.manifest_dir)
 
     def _write_manifest(self, entry: dict) -> None:
         path = self._manifest_path(entry["batch"])
@@ -279,119 +273,9 @@ class ResumableIndexBuild:
 
     def finalize(self) -> Index:
         """Global stats + BM25 attach + final layout write."""
-        spark = self.docs.sparkSession
-        manifests = self.read_manifest()
-        n_docs = sum(m["n_docs"] for m in manifests.values())
-        total_len = sum(m["sum_doc_len"] for m in manifests.values())
-        avgdl = (total_len / n_docs) if n_docs else 0.0
-
-        raw = spark.read.parquet(os.path.join(self.out, "postings_raw"))
-        doc_stats = spark.read.parquet(
-            os.path.join(self.out, "doc_stats_batches")
+        return finalize_from_raw(
+            self.docs.sparkSession, self.out, self.cfg
         )
-
-        term_stats = (
-            raw.groupBy("term")
-            .agg(F.sum("n_postings").alias("df"))
-            .withColumn(
-                "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
-            )  # quirk Q2: log10, ref SQLiteSearcher.java:362
-        )
-
-        k1, b_, block = self.cfg.bm25_k1, self.cfg.bm25_b, self.cfg.block_size
-        store_arrays = self.cfg.store_arrays
-        avgdl_c = max(avgdl, 1e-12)
-
-        def attach_bm25(praw, pds):
-            """Cogroup (postings_raw, doc_stats) on shard: compute each
-            posting's bm25_tf from its doc's length, re-encode, rebuild
-            block-max. Vectorized via searchsorted on the shard's sorted
-            doc-id → doc_len arrays."""
-            if praw.empty:
-                return pd.DataFrame(
-                    columns=[f.name for f in POSTINGS_SCHEMA]
-                )
-            sd = pds.sort_values("doc_id")
-            s_ids = sd["doc_id"].to_numpy(np.int64)
-            s_len = sd["doc_len"].to_numpy(np.float64)
-            rows = []
-            for r in praw.itertuples():
-                ids = codec.delta_decode_ids(r.doc_ids_enc)
-                tfs = codec.decode_tfs(r.tf_enc).astype(np.float64)
-                dlen = s_len[np.searchsorted(s_ids, ids)]
-                bm25 = (tfs * (1.0 + k1)) / (
-                    tfs + k1 * (1.0 - b_ + b_ * dlen / avgdl_c)
-                )
-                nblocks = (ids.size + block - 1) // block
-                bmax = [
-                    float(bm25[i * block : (i + 1) * block].max())
-                    for i in range(nblocks)
-                ]
-                postings = None
-                if store_arrays and r.postings is not None:
-                    postings = [
-                        {
-                            "doc_id": p["doc_id"],
-                            "tf": p["tf"],
-                            "tf_norm": p["tf_norm"],
-                            "bm25_tf": float(bm),
-                            "positions": p["positions"],
-                        }
-                        for p, bm in zip(r.postings, bm25)
-                    ]
-                rows.append(
-                    {
-                        "term": r.term,
-                        "shard": r.shard,
-                        "n_postings": r.n_postings,
-                        "min_doc_id": r.min_doc_id,
-                        "max_doc_id": r.max_doc_id,
-                        "max_bm25_tf": float(bm25.max()),
-                        "postings": postings,
-                        "doc_ids_enc": r.doc_ids_enc,
-                        "tf_enc": r.tf_enc,
-                        "bm25_tf_enc": codec.encode_tfs(bm25),
-                        "pos_enc": r.pos_enc,
-                        "block_max": bmax,
-                    }
-                )
-            return pd.DataFrame(rows)
-
-        postings = (
-            raw.groupBy("shard")
-            .cogroup(
-                doc_stats.withColumn(
-                    "shard",
-                    (F.col("doc_id") / F.lit(self.cfg.docs_per_shard)).cast(
-                        "long"
-                    ),
-                ).groupBy("shard")
-            )
-            .applyInPandas(attach_bm25, schema=POSTINGS_SCHEMA)
-        )
-
-        idx = Index(
-            postings=postings,
-            term_stats=term_stats,
-            doc_stats=doc_stats.select("doc_id", "doc_len"),
-            n_docs=n_docs,
-            avgdl=avgdl,
-            cfg=self.cfg,
-        )
-        idx.save(self.out)
-        # final meta records build lineage summary for the judge/ops
-        summary = {
-            "n_batches": len(manifests),
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-            "total_wall_sec": round(
-                sum(m["wall_sec"] for m in manifests.values()), 3
-            ),
-            "total_postings": sum(m["n_postings"] for m in manifests.values()),
-        }
-        with open(os.path.join(self.out, "build_summary.json"), "w") as fh:
-            json.dump(summary, fh, indent=1)
-        return idx
 
     def run(self, max_batches: int | None = None) -> Index | None:
         """Build pending batches (all, or the first ``max_batches``), then
@@ -404,3 +288,137 @@ class ResumableIndexBuild:
         if self.pending():
             return None  # stopped early — call run() again to continue
         return self.finalize()
+
+
+
+def read_manifests(manifest_dir: str) -> dict[int, dict]:
+    out = {}
+    for f in os.listdir(manifest_dir):
+        if f.startswith("batch_") and f.endswith(".json"):
+            with open(os.path.join(manifest_dir, f)) as fh:
+                m = json.load(fh)
+            out[int(m["batch"])] = m
+    return out
+
+
+def finalize_from_raw(spark, out_dir: str, cfg: EngineConfig) -> Index:
+    """Global stats + BM25 attach + final layout write over any directory
+    holding the postings_raw / doc_stats_batches / manifest layout —
+    written by the batch ResumableIndexBuild OR the streaming ingest
+    (streaming/incremental.py). Duplicate (term, shard) rows from
+    different batches are safe: a batch owns disjoint doc ids, df sums
+    per-shard posting counts, and query-side scoring unions posting rows.
+    """
+    manifests = read_manifests(os.path.join(out_dir, "manifest"))
+    n_docs = sum(m["n_docs"] for m in manifests.values())
+    total_len = sum(m["sum_doc_len"] for m in manifests.values())
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+
+    raw = spark.read.parquet(os.path.join(out_dir, "postings_raw"))
+    doc_stats = spark.read.parquet(
+        os.path.join(out_dir, "doc_stats_batches")
+    )
+
+    term_stats = (
+        raw.groupBy("term")
+        .agg(F.sum("n_postings").alias("df"))
+        .withColumn(
+            "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
+        )  # quirk Q2: log10, ref SQLiteSearcher.java:362
+    )
+
+    k1, b_, block = cfg.bm25_k1, cfg.bm25_b, cfg.block_size
+    store_arrays = cfg.store_arrays
+    avgdl_c = max(avgdl, 1e-12)
+
+    def attach_bm25(praw, pds):
+        """Cogroup (postings_raw, doc_stats) on shard: compute each
+        posting's bm25_tf from its doc's length, re-encode, rebuild
+        block-max. Vectorized via searchsorted on the shard's sorted
+        doc-id → doc_len arrays."""
+        if praw.empty:
+            return pd.DataFrame(
+                columns=[f.name for f in POSTINGS_SCHEMA]
+            )
+        sd = pds.sort_values("doc_id")
+        s_ids = sd["doc_id"].to_numpy(np.int64)
+        s_len = sd["doc_len"].to_numpy(np.float64)
+        rows = []
+        for r in praw.itertuples():
+            ids = codec.delta_decode_ids(r.doc_ids_enc)
+            tfs = codec.decode_tfs(r.tf_enc).astype(np.float64)
+            dlen = s_len[np.searchsorted(s_ids, ids)]
+            bm25 = (tfs * (1.0 + k1)) / (
+                tfs + k1 * (1.0 - b_ + b_ * dlen / avgdl_c)
+            )
+            nblocks = (ids.size + block - 1) // block
+            bmax = [
+                float(bm25[i * block : (i + 1) * block].max())
+                for i in range(nblocks)
+            ]
+            postings = None
+            if store_arrays and r.postings is not None:
+                postings = [
+                    {
+                        "doc_id": p["doc_id"],
+                        "tf": p["tf"],
+                        "tf_norm": p["tf_norm"],
+                        "bm25_tf": float(bm),
+                        "positions": p["positions"],
+                    }
+                    for p, bm in zip(r.postings, bm25)
+                ]
+            rows.append(
+                {
+                    "term": r.term,
+                    "shard": r.shard,
+                    "n_postings": r.n_postings,
+                    "min_doc_id": r.min_doc_id,
+                    "max_doc_id": r.max_doc_id,
+                    "max_bm25_tf": float(bm25.max()),
+                    "postings": postings,
+                    "doc_ids_enc": r.doc_ids_enc,
+                    "tf_enc": r.tf_enc,
+                    "bm25_tf_enc": codec.encode_tfs(bm25),
+                    "pos_enc": r.pos_enc,
+                    "block_max": bmax,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    postings = (
+        raw.groupBy("shard")
+        .cogroup(
+            doc_stats.withColumn(
+                "shard",
+                (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast(
+                    "long"
+                ),
+            ).groupBy("shard")
+        )
+        .applyInPandas(attach_bm25, schema=POSTINGS_SCHEMA)
+    )
+
+    idx = Index(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats.select("doc_id", "doc_len"),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        cfg=cfg,
+    )
+    idx.save(out_dir)
+    # final meta records build lineage summary for the judge/ops
+    summary = {
+        "n_batches": len(manifests),
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_wall_sec": round(
+            sum(m["wall_sec"] for m in manifests.values()), 3
+        ),
+        "total_postings": sum(m["n_postings"] for m in manifests.values()),
+    }
+    with open(os.path.join(out_dir, "build_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return idx
+
