@@ -293,7 +293,39 @@ def main() -> None:
         "query_p50_sec": r["query_p50"],
         "query_p95_sec": r["query_p95"],
     }
+    scaling = _scaling_summary()
+    if scaling:
+        out["scaling"] = scaling
     print(json.dumps(out))
+
+
+def _scaling_summary() -> dict | None:
+    """Headline N-vs-4N numbers from the committed scaling study
+    (scaling_study.json, produced by tools/scaling_study.py on a quiet
+    machine — see BENCH.md for methodology and the hardware ceiling)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling_study.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        state = json.load(open(path))
+        best: dict[int, float] = {}
+        n_docs = 0
+        for r in state.get("runs", []):
+            for t in r.get("build_secs", []):
+                c = r["cores"]
+                if c not in best or t < best[c]:
+                    best[c] = t
+                    n_docs = max(n_docs, r["n_docs"])
+        out = {"n_docs": n_docs, "hw_ceiling": state.get("hw_throughput")}
+        for n in sorted(best):
+            if 4 * n in best:
+                out[f"efficiency_{n}_to_{4*n}"] = round(
+                    best[n] / best[4 * n] / 4.0, 3
+                )
+        return out
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

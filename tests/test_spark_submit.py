@@ -83,3 +83,24 @@ def test_build_then_query_via_spark_submit(corpus_path, tmp_path):
         # scores sorted desc with doc_id tie-break
         scores = [s for _, s in res["results"]]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_ingest_via_spark_submit(corpus_path, tmp_path):
+    out = str(tmp_path / "sidx")
+    stdout = _submit(
+        "stream_ingest_job.py",
+        "--input", corpus_path,
+        "--output", out,
+    )
+    rep = json.loads(stdout.strip().splitlines()[-1])
+    assert rep["batches_total"] >= 1
+    assert rep["n_docs"] == 120
+    # re-run with nothing new: no additional batches, same doc count
+    stdout2 = _submit(
+        "stream_ingest_job.py",
+        "--input", corpus_path,
+        "--output", out,
+    )
+    rep2 = json.loads(stdout2.strip().splitlines()[-1])
+    assert rep2["batches_total"] == rep["batches_total"]
+    assert rep2["n_docs"] == 120
