@@ -84,3 +84,48 @@ def test_and_keeps_left_scores(spark_index, oracle_idx):
 
 def test_empty_query_results(spark_index):
     assert search(spark_index, "nosuchwordxyz", k=10).count() == 0
+
+
+def test_edge_queries(spark_index):
+    # empty string, whitespace, stopword-only (stopwords are never
+    # indexed — quirk Q3: the query side does NOT filter them, they
+    # simply miss), unbalanced quote (plain-query fallback), k=1
+    assert search(spark_index, "", k=10).count() == 0
+    assert search(spark_index, "   ", k=10).count() == 0
+    assert search(spark_index, "the and of", k=10).count() == 0
+    unbal = search(spark_index, '"banana recipe', k=10).count()
+    plain = search(spark_index, "banana recipe", k=10).count()
+    assert unbal == plain
+    assert search(spark_index, "banana", k=1).count() == 1
+
+
+def test_empty_corpus_build(spark):
+    from search_engine_spark.operators.index_build import build_index
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+        "content string, doc_id long, sha256 string"
+    )
+    idx = build_index(empty)
+    assert idx.n_docs == 0
+    assert idx.postings.count() == 0
+    assert search(idx, "anything", k=5).count() == 0
+
+
+def test_unicode_and_symbol_content(spark):
+    from search_engine_spark.operators.index_build import build_index
+
+    rows = [
+        (0, "naïve café résumé ascii words only survive"),
+        (1, "日本語テキスト mixed with latin tokens here"),
+        (2, "symbols !!! ### $$$ 123 42x x42 don't"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, content string"
+    )
+    idx = build_index(df)
+    # pure-ASCII-alpha gate (T2): accented/CJK/digit tokens are dropped,
+    # build neither crashes nor emits them
+    terms = {r["term"] for r in idx.term_stats.collect()}
+    assert "ascii" in terms or "word" in terms  # stemmed forms present
+    assert all(t.isascii() and t.isalpha() for t in terms)
