@@ -114,9 +114,17 @@ class Index:
         self.doc_stats.write.mode("overwrite").parquet(
             os.path.join(path, "doc_stats")
         )
+        from dataclasses import asdict
+
         meta = {
             "n_docs": self.n_docs,
             "avgdl": self.avgdl,
+            # full engine config rides with the index: an index built
+            # with (say) stem=False queried through a stemming analyzer
+            # silently returns wrong ranks — load() reconstructs the
+            # build-time analyzer unless the caller overrides.
+            "cfg": asdict(self.cfg),
+            # legacy top-level fields kept for external readers
             "docs_per_shard": self.cfg.docs_per_shard,
             "bm25_k1": self.cfg.bm25_k1,
             "bm25_b": self.cfg.bm25_b,
@@ -127,9 +135,26 @@ class Index:
         ).write.mode("overwrite").json(os.path.join(path, "meta"))
 
     @staticmethod
-    def load(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> "Index":
+    def load(
+        spark: SparkSession, path: str, cfg: EngineConfig | None = None
+    ) -> "Index":
+        """Load a saved index. When ``cfg`` is omitted, the BUILD-time
+        config stored in the index metadata is used — querying with a
+        different analyzer than the one that built the index is a
+        silent-wrong-results trap, so overriding is explicit-only."""
+        import dataclasses
+
         meta_row = spark.read.json(os.path.join(path, "meta")).collect()[0]
         meta = json.loads(meta_row["meta"])
+        if cfg is None:
+            saved = meta.get("cfg")
+            if saved:
+                names = {f.name for f in dataclasses.fields(EngineConfig)}
+                cfg = EngineConfig(
+                    **{k: v for k, v in saved.items() if k in names}
+                )
+            else:
+                cfg = DEFAULT
         return Index(
             postings=spark.read.parquet(os.path.join(path, "postings")),
             term_stats=spark.read.parquet(os.path.join(path, "term_stats")),

@@ -109,3 +109,27 @@ def test_save_load_roundtrip(tmp_path, spark, spark_index):
     assert math.isclose(loaded.avgdl, spark_index.avgdl)
     assert loaded.postings.count() == spark_index.postings.count()
     assert loaded.term_stats.count() == spark_index.term_stats.count()
+
+
+def test_load_restores_build_config(spark, tmp_path):
+    """An index built with a non-default analyzer must query with THAT
+    analyzer after a plain load (no cfg argument)."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    cfg = EngineConfig(stem=False, remove_stopwords=False, docs_per_shard=64)
+    corp = generate_corpus(spark, 120, seed=9)
+    idx = build_index(corp, cfg=cfg)
+    d = str(tmp_path / "nostem")
+    idx.save(d)
+    loaded = Index.load(spark, d)
+    assert loaded.cfg.stem is False
+    assert loaded.cfg.remove_stopwords is False
+    assert loaded.cfg.docs_per_shard == 64
+    want = [(r["doc_id"], round(r["score"], 6))
+            for r in search(idx, "banana recipe", k=10).collect()]
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in search(loaded, "banana recipe", k=10).collect()]
+    assert got == want
