@@ -25,8 +25,12 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--mode", default="bm25", choices=["bm25", "tfidf"])
+    # analyzer overrides are OPT-IN: by default the index's own
+    # build-time config (persisted in its metadata) drives the query
+    # analyzer, which is the only correct pairing
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--no-stopwords", action="store_true")
+    ap.add_argument("--override-analyzer", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,9 +43,11 @@ def main() -> None:
     from search_engine_spark.operators.query import search
     from search_engine_spark.operators.wand import search_wand
 
-    cfg = EngineConfig(
-        stem=not args.no_stem, remove_stopwords=not args.no_stopwords
-    )
+    cfg = None
+    if args.override_analyzer:
+        cfg = EngineConfig(
+            stem=not args.no_stem, remove_stopwords=not args.no_stopwords
+        )
     idx = Index.load(spark, args.index, cfg=cfg)
     idx.postings = idx.postings.persist()
     idx.term_stats = idx.term_stats.persist()
