@@ -41,19 +41,73 @@ from search_engine_spark.operators.parser import (
 MATCH_COLS = ["doc_id", "term", "tf", "tf_norm", "bm25_tf", "positions"]
 
 
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.DoubleType()),
+        T.StructField("bm25_tf", T.DoubleType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
 def term_matches(index: Index, stems: list[str]) -> DataFrame:
-    """Q4 posting lookup: explode the posting shards of the query stems
-    into (doc_id, term, tf, tf_norm, bm25_tf, positions) rows."""
+    """Q4 posting lookup: (doc_id, term, tf, tf_norm, bm25_tf, positions)
+    rows for the query stems.
+
+    Two physical paths, same output:
+      * ``store_arrays=True``: explode the decoded posting arrays (pure
+        JVM).
+      * ``store_arrays=False`` (the at-scale layout — decoded arrays are
+        not stored twice next to the codec): decode the delta+varint /
+        float32 binaries in an Arrow UDF, then reconstruct ``tf_norm``
+        (= tf / doc_len, not separately encoded) from doc_stats.
+    """
     rows = index.postings.filter(F.col("term").isin(list(stems)))
-    return rows.select(
-        "term", F.explode("postings").alias("p")
-    ).select(
-        F.col("p.doc_id").alias("doc_id"),
+    if index.cfg.store_arrays:
+        return rows.select(
+            "term", F.explode("postings").alias("p")
+        ).select(
+            F.col("p.doc_id").alias("doc_id"),
+            "term",
+            F.col("p.tf").alias("tf"),
+            F.col("p.tf_norm").alias("tf_norm"),
+            F.col("p.bm25_tf").alias("bm25_tf"),
+            F.col("p.positions").alias("positions"),
+        )
+
+    from search_engine_spark.operators import codec
+
+    def decode(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _DECODED_SCHEMA.fields}
+            for r in pdf.itertuples():
+                ids = codec.delta_decode_ids(r.doc_ids_enc)
+                tfs = codec.decode_tfs(r.tf_enc).astype("float64")
+                bms = codec.decode_tfs(r.bm25_tf_enc).astype("float64")
+                poss = codec.decode_positions(r.pos_enc, ids.size)
+                out["doc_id"].extend(int(i) for i in ids)
+                out["term"].extend([r.term] * ids.size)
+                out["tf"].extend(float(x) for x in tfs)
+                out["bm25_tf"].extend(float(x) for x in bms)
+                out["positions"].extend(
+                    [[int(p) for p in pl] for pl in poss]
+                )
+            yield pd.DataFrame(out)
+
+    decoded = rows.select(
+        "term", "doc_ids_enc", "tf_enc", "bm25_tf_enc", "pos_enc"
+    ).mapInPandas(decode, schema=_DECODED_SCHEMA)
+    return decoded.join(index.doc_stats, "doc_id").select(
+        "doc_id",
         "term",
-        F.col("p.tf").alias("tf"),
-        F.col("p.tf_norm").alias("tf_norm"),
-        F.col("p.bm25_tf").alias("bm25_tf"),
-        F.col("p.positions").alias("positions"),
+        "tf",
+        F.when(
+            F.col("doc_len") > 0, F.col("tf") / F.col("doc_len")
+        ).otherwise(F.lit(0.0)).alias("tf_norm"),
+        "bm25_tf",
+        "positions",
     )
 
 

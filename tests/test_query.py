@@ -129,3 +129,31 @@ def test_unicode_and_symbol_content(spark):
     terms = {r["term"] for r in idx.term_stats.collect()}
     assert "ascii" in terms or "word" in terms  # stemmed forms present
     assert all(t.isascii() and t.isalpha() for t in terms)
+
+
+def test_codec_only_profile_rank_identity(spark, corpus_df):
+    """store_arrays=False (the at-scale layout: codec binaries only, no
+    decoded arrays) must answer every query shape identically to the
+    arrays profile."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+
+    full = build_index(
+        corpus_df, cfg=EngineConfig(docs_per_shard=64, block_size=16)
+    )
+    lean = build_index(
+        corpus_df,
+        cfg=EngineConfig(
+            docs_per_shard=64, block_size=16, store_arrays=False
+        ),
+    )
+    assert lean.postings.where("postings IS NOT NULL").count() == 0
+    for q in ["banana recipe", '"banana recipe"', "banana AND recipe",
+              "banana OR recipe", "banana NOT recipe"]:
+        a = [(r["doc_id"], r["score"]) for r in search(full, q, k=15).collect()]
+        b = [(r["doc_id"], r["score"]) for r in search(lean, q, k=15).collect()]
+        # codec stores tf/bm25_tf as float32, so scores agree to ~1e-7
+        # relative; ranking must match exactly
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-5), q
