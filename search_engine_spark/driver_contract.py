@@ -630,6 +630,26 @@ def q_fingerprint_rolling(spark, sf_dir):
     return fingerprint_rolling(_docs(spark, sf_dir))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: deterministic k-means
+    training is iterative, not SQL-expressible; recall vs brute force is
+    pinned in pytest)."""
+    from search_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in row["embedding"]]
+    cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(assigned, cents, qvec, k=10, n_probe=2).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_media_stats(spark, sf_dir):
     """Multimodal metadata scan over the synthetic binary media column.
 
@@ -838,6 +858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only:
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
     "media_features": q_media_features,

@@ -100,3 +100,32 @@ def test_snippets_multiword_first_hit(spark):
     ]
     # earliest of the two words anchors the window
     assert "**join**" in snip
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF: deterministic k-means training, cluster-probed top-k; recall
+    vs brute-force cosine_topk on clustered data."""
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, dim=DIM, n_centroids=8, iters=3)
+    assert len(cents) == 8 and all(len(c) == DIM for c in cents)
+    # training is deterministic: same call, same centroids
+    again = kmeans_centroids(emb, dim=DIM, n_centroids=8, iters=3)
+    assert cents == again
+
+    assigned = ivf_assign(emb, cents).persist()
+    assert assigned.select("cluster").distinct().count() > 1
+
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = [r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(assigned, cents, qvec, k=10, n_probe=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, recall  # clustered data, 2-of-8 probes
