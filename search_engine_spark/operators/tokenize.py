@@ -116,23 +116,35 @@ def make_tokenize_udf(cfg: EngineConfig = DEFAULT):
 
     @pandas_udf(TOKENS_SCHEMA)
     def tokenize(content: pd.Series) -> pd.DataFrame:
-        rx = re.compile(pattern)
-        alpha = _ALPHA
+        # findall (C loop) + str.isascii/isalpha (C checks, exact parity
+        # with ^[a-zA-Z]+$ — pinned by tests) instead of a Python
+        # finditer loop with a second regex per token
+        findall = re.compile(pattern).findall
+        stem = porter_stem
         toks_col, n_col = [], []
         for text in content:
             if text is None:
                 toks_col.append([])
                 n_col.append(0)
                 continue
-            words = []
-            for m in rx.finditer(text.lower()):
-                w = m.group()
-                if (
-                    min_len <= len(w) <= max_len
-                    and alpha.match(w)
+            if do_stem:
+                words = [
+                    stem(w)
+                    for w in findall(text.lower())
+                    if min_len <= len(w) <= max_len
+                    and w.isascii()
+                    and w.isalpha()
                     and (not do_stop or w not in stopset)
-                ):
-                    words.append(porter_stem(w) if do_stem else w)
+                ]
+            else:
+                words = [
+                    w
+                    for w in findall(text.lower())
+                    if min_len <= len(w) <= max_len
+                    and w.isascii()
+                    and w.isalpha()
+                    and (not do_stop or w not in stopset)
+                ]
             tokens, n = aggregate_tokens(words)
             toks_col.append(tokens)
             n_col.append(n)
