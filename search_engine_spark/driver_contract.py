@@ -791,15 +791,23 @@ def q_url_normalize(spark, sf_dir):
     raw = F.concat(
         F.lit("HTTP://Example"),
         (F.col("doc_id") % 7).cast("string"),
-        F.lit(".COM:80/Files/"),
-        F.col("doc_id").cast("string"),
-        F.lit("/"),
+        F.lit(".COM:80"),
+        # doc_id%5==0 exercises the empty-path -> "/" restore; otherwise
+        # a double trailing slash exercises the /+$ strip
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(
+            F.concat(
+                F.lit("/Files/"), F.col("doc_id").cast("string"), F.lit("//")
+            )
+        ),
+        # uppercase whitelist key (matched case-insensitively, original
+        # text kept) + non-whitelisted key + exact-duplicate param (deduped)
         F.when(
             F.col("doc_id") % 3 == 0,
             F.concat(
-                F.lit("?id="),
+                F.lit("?ID="),
                 F.col("doc_id").cast("string"),
-                F.lit("&utm_source=x&page=2"),
+                F.lit("&utm_source=x&page=2&ID="),
+                F.col("doc_id").cast("string"),
             ),
         ).otherwise(F.lit("")),
     )
@@ -810,8 +818,9 @@ def q_url_normalize(spark, sf_dir):
 
 SQL_URL_NORMALIZE = """
 SELECT doc_id,
-  'http://example' || (doc_id % 7) || '.com/Files/' || doc_id ||
-  CASE WHEN doc_id % 3 = 0 THEN '?id=' || doc_id || '&page=2' ELSE '' END
+  'http://example' || (doc_id % 7) || '.com' ||
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/Files/' || doc_id END ||
+  CASE WHEN doc_id % 3 = 0 THEN '?ID=' || doc_id || '&page=2' ELSE '' END
   AS url_norm
 FROM documents
 """
@@ -819,14 +828,24 @@ FROM documents
 
 def q_media_features(spark, sf_dir):
     """mapInPandas feature extraction over binary media (rows-only:
-    the stub feature vector is seeded-RNG, not SQL-expressible)."""
+    the stub feature vector is seeded-RNG, not SQL-expressible).
+    Exploded to (doc_id, dim_idx, value) scalar rows — the driver's
+    canonicalizer sorts row values, and array<float> cells are
+    unhashable in pandas (the round-1 red row)."""
     from search_engine_spark.operators.multimodal import (
         attach_fake_media,
         extract_features,
     )
 
     media = attach_fake_media(_docs(spark, sf_dir))
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select(
+        "doc_id",
+        "dim_idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
 
 
 # ---------------------------------------------------------------------------

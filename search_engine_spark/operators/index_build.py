@@ -194,10 +194,16 @@ def _make_codec_udf(cfg: EngineConfig):
             nb = (a.size + block - 1) // block
             out["doc_ids_enc"].append(codec.delta_encode_ids(a))
             out["tf_enc"].append(codec.encode_tfs(t))
-            out["bm25_tf_enc"].append(codec.encode_tfs(bm))
+            bm_enc = codec.encode_tfs(bm)
+            out["bm25_tf_enc"].append(bm_enc)
             out["pos_enc"].append(codec.encode_positions(list(poss.iloc[i])))
+            # block_max over the float32-ROUNDTRIPPED values: WAND prunes
+            # against decoded float32 scores, and float32 round-to-nearest
+            # can exceed the float64 original by ~1e-7 rel — a float64 max
+            # would under-bound and could drop a kth-score tie.
+            bm32 = codec.decode_tfs(bm_enc).astype(np.float64)
             out["block_max"].append(
-                [float(bm[j * block : (j + 1) * block].max()) for j in range(nb)]
+                [float(bm32[j * block : (j + 1) * block].max()) for j in range(nb)]
             )
         return pd.DataFrame(out)
 

@@ -75,7 +75,7 @@ def _cfg_hash(cfg: EngineConfig) -> str:
             "min": cfg.min_word_len, "max": cfg.max_word_len,
             "stem": cfg.stem, "stop": cfg.remove_stopwords,
             "pat": cfg.token_pattern, "dps": cfg.docs_per_shard,
-            "blk": cfg.block_size,
+            "blk": cfg.block_size, "arr": cfg.store_arrays,
         },
         sort_keys=True,
     )

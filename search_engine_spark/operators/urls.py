@@ -2,13 +2,17 @@
 
 Reference semantics:
   * T8 normalize — Crawler.java:491-529: lowercase scheme and host,
-    strip the scheme's default port (:80 http / :443 https), strip ONE
-    trailing slash from the path, and keep only the whitelisted query
-    parameters (q, search, id, page, sort, category) in their original
-    order.
+    strip the scheme's default port (:80 http / :443 https), strip ALL
+    trailing slashes from the path (``/+$``) restoring ``/`` when the
+    path becomes empty, and keep only query parameters whose key
+    LOWERCASES to the whitelist (q, search, id, page, sort, category) —
+    original param text preserved, exact-duplicate params removed
+    (LinkedHashSet), original order kept.
   * T9 extract — Crawler.java:475-489: absolute http(s) links out of a
-    document, capped at 10 per doc (the reference misuses
-    MAX_DEPTH_PER_DOMAIN as a per-doc link cap — preserved).
+    document, collected into a HashSet with a break once size exceeds
+    MAX_DEPTH_PER_DOMAIN=10 — i.e. the first 11 DISTINCT raw links in
+    document order (the reference misuses a domain-depth knob as a
+    per-doc cap, and the off-by-one is preserved).
 
 Both are pure column expressions (regexp + array algebra): they run in
 whole-stage codegen at 100 TB and are mirrored 1:1 in ANSI SQL for the
@@ -32,11 +36,16 @@ def normalize_url(url: Column) -> Column:
     host = F.when(
         scheme == "http", F.regexp_replace(host, ":80$", "")
     ).otherwise(F.regexp_replace(host, ":443$", ""))
-    path = F.regexp_replace(F.regexp_extract(url, _URL_RE, 3), "/$", "")
+    path = F.regexp_replace(F.regexp_extract(url, _URL_RE, 3), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(url, _URL_RE, 4)
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda kv: F.split(kv, "=").getItem(0).isin(PARAM_WHITELIST),
+    kept = F.array_distinct(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: F.lower(F.split(kv, "=").getItem(0)).isin(
+                PARAM_WHITELIST
+            ),
+        )
     )
     qs = F.array_join(kept, "&")
     out = F.concat(
@@ -55,14 +64,21 @@ def extract_links(
     id_col: str = "doc_id",
     max_links: int = 10,
 ) -> DataFrame:
-    """T9: (doc_id, link) — absolute http(s) URLs found in the text,
-    first ``max_links`` per doc (reference cap), normalized via T8."""
+    """T9: (doc_id, link) — absolute http(s) URLs found in the text.
+    Reference quirk: dedup happens BEFORE the cap (HashSet.add) and the
+    loop breaks only when size EXCEEDS the cap, so up to ``max_links+1``
+    distinct raw links survive, in document order
+    (Crawler.java:475-489)."""
     links = F.slice(
-        F.regexp_extract_all(
-            F.col(text_col), F.lit(r"((?i)https?://[^\s\"'<>)\]]+)"), F.lit(1)
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.col(text_col),
+                F.lit(r"((?i)https?://[^\s\"'<>)\]]+)"),
+                F.lit(1),
+            )
         ),
         1,
-        max_links,
+        max_links + 1,
     )
     return (
         df.select(

@@ -21,7 +21,10 @@ def test_normalize_url_reference_cases(spark):
             "http://example.com/search?q=x&utm_source=t&page=3",
             "http://example.com/?nope=1",          # all params dropped
             "ftp://example.com/file",              # non-http → null
-            "http://example.com",                  # no path
+            "http://example.com",                  # no path → "/" restored
+            "http://example.com/a///",             # ALL trailing slashes
+            "http://example.com/s?ID=5&Q=x",       # keys matched lowercased
+            "http://example.com/s?id=1&x=2&id=1",  # exact-dup param dropped
         ],
     )
     assert got == [
@@ -29,14 +32,23 @@ def test_normalize_url_reference_cases(spark):
         "https://example.com/a",
         "https://example.com:8080/a",
         "http://example.com/search?q=x&page=3",   # whitelist, order kept
-        "http://example.com",
+        "http://example.com/",
         None,
-        "http://example.com",
+        "http://example.com/",
+        "http://example.com/a",
+        "http://example.com/s?ID=5&Q=x",          # original key case kept
+        "http://example.com/s?id=1",
     ]
 
 
 def test_extract_links_cap_and_normalize(spark):
-    many = " ".join(f"see http://Site.com:80/p{i}/" for i in range(15))
+    # 15 distinct links, each repeated twice: dedup happens BEFORE the cap
+    # (HashSet.add) and the loop breaks only when size EXCEEDS 10, so 11
+    # distinct links survive — the reference off-by-one, preserved
+    many = " ".join(
+        f"see http://Site.com:80/p{i}/ and http://Site.com:80/p{i}/"
+        for i in range(15)
+    )
     df = spark.createDataFrame(
         [(0, many), (1, "no links here"), (2, 'x "https://a.b/c?id=1&z=2" y')],
         "doc_id: long, text: string",
@@ -46,7 +58,7 @@ def test_extract_links_cap_and_normalize(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r.link)
-    assert len(by_doc[0]) == 10                    # reference per-doc cap
+    assert len(by_doc[0]) == 11                    # cap+1 distinct (quirk)
     assert by_doc[0][0] == "http://site.com/p0"
     assert 1 not in by_doc
     assert by_doc[2] == ["https://a.b/c?id=1"]
