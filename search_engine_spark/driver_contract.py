@@ -623,6 +623,59 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_lsh_ann_exact(spark, sf_dir):
+    """Same LSH machinery with probe_radius == n_planes: every bucket is
+    probed, so the result is value-identical to brute-force cosine —
+    shares SQL_ANN_COSINE (the wand_topk trick: the driver hash-check
+    doubles as the multiprobe-exactness gate)."""
+    from search_engine_spark.operators.similarity import lsh_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return lsh_topk(
+        emb, qvec, dim=len(qvec), k=10, n_planes=6, probe_radius=6,
+        exclude_ids=[0],
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ivf_ann_exact(spark, sf_dir):
+    """IVF with n_probe == n_centroids: every cluster probed → identical
+    to brute-force cosine; shares SQL_ANN_COSINE. Also pins the
+    no-global-Window k-means init (the training runs inside the gate)."""
+    from search_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(
+        assigned, cents, qvec, k=10, n_probe=len(cents), exclude_ids=[0]
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embed_dup_lsh_exact(spark, sf_dir):
+    """Bucketed near-dup with n_planes=0 (single bucket): the bucket-keyed
+    join degenerates to the full self-join, so the result equals the
+    brute-force pair set — shares SQL_EMBED_DUP_PAIRS."""
+    from search_engine_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = _table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_dup_pairs_lsh(
+        emb, dim=dim, threshold=0.4, n_planes=0
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_fingerprint_rolling(spark, sf_dir):
     """Arrow-UDF rolling-hash fingerprint (rows-only: custom hash)."""
     from search_engine_spark.operators.textstats import fingerprint_rolling
@@ -877,7 +930,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only:
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
+    "lsh_ann_exact": q_lsh_ann_exact,
     "ivf_ann": q_ivf_ann,
+    "ivf_ann_exact": q_ivf_ann_exact,
+    "embed_dup_lsh_exact": q_embed_dup_lsh_exact,
     "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
@@ -906,6 +962,9 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "ann_cosine": SQL_ANN_COSINE,
+    "lsh_ann_exact": SQL_ANN_COSINE,
+    "ivf_ann_exact": SQL_ANN_COSINE,
+    "embed_dup_lsh_exact": SQL_EMBED_DUP_PAIRS,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -7,21 +7,37 @@
   (inverted-file) ANN: deterministic Lloyd training as DataFrame algebra,
   cluster-partitioned index table, n_probe-nearest-cluster query.
 * ``lsh_assign_buckets`` / ``lsh_topk`` — random-hyperplane LSH: each
-  vector gets a ``n_planes``-bit signature; queries only score their own
-  bucket (and optionally neighboring buckets by hamming radius 1). The
-  scale path: bucket assignment is a one-pass narrow transform, the
-  bucket column becomes a partition/cluster key, and a query touches
-  1/2^n_planes of the data in expectation.
+  vector gets a ``n_planes``-bit signature; queries score their own
+  bucket plus (multiprobe) buckets within ``probe_radius`` hamming
+  distance. The scale path: bucket assignment is a one-pass narrow
+  transform, the bucket column becomes a partition/cluster key, and a
+  query touches Σ_{i<=r} C(n_planes,i)/2^n_planes of the data.
 
 Hyperplanes are deterministic pseudo-random (seeded hash of
 (plane, dim)), so signatures are reproducible across runs/engines with
-no stored model.
+no stored model. The full (n_planes × dim) plane matrix is applied in
+ONE Arrow pandas UDF (numpy matmul over the batch) — at dim=768 the
+old per-dimension literal expressions put ~6k literals in a single
+Catalyst tree (analysis/codegen blow-up); a closure-captured numpy
+matrix is O(1) plan nodes at any dimension.
+
+Exactness dials (used by the driver correctness gate):
+  * ``lsh_topk(..., probe_radius=n_planes)`` scans every bucket →
+    result == ``cosine_topk`` (shares its SQL oracle).
+  * ``ivf_topk(..., n_probe=n_centroids)`` probes every cluster →
+    result == ``cosine_topk``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -67,10 +83,25 @@ def cosine_topk(
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1): derived
     from md5 so any engine can reproduce it."""
-    import hashlib
-
     h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8]
     return (int(h, 16) / 0x7FFFFFFF) - 1.0
+
+
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """(n_planes, dim) float64 hyperplane matrix, deterministic."""
+    return np.asarray(
+        [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def _signature_bits(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) @ (n_planes, dim).T → packed int64 sign signatures."""
+    if planes.shape[0] == 0:
+        return np.zeros(vecs.shape[0], dtype=np.int64)
+    bits = (vecs @ planes.T) >= 0.0  # (n, n_planes) bool
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
 
 
 def lsh_assign_buckets(
@@ -81,18 +112,30 @@ def lsh_assign_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add a ``bucket`` column: sign-bit signature against ``n_planes``
-    deterministic hyperplanes. Narrow (no shuffle)."""
-    v = as_double_array(F.col(vec_col))
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(_plane_component(p, d)) for d in range(dim)]
-        )
-        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return embeddings.withColumn("bucket", bucket).withColumnRenamed(
-        id_col, "vec_id"
-    ) if id_col != "vec_id" else embeddings.withColumn("bucket", bucket)
+    deterministic hyperplanes. Narrow (no shuffle). One Arrow UDF with a
+    closure-captured (n_planes × dim) numpy matrix — plan size is
+    independent of the embedding dimension (tested at dim=768)."""
+    planes = _plane_matrix(n_planes, dim)
+
+    @pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        ).reshape(len(vecs), dim)
+        return pd.Series(_signature_bits(mat, planes))
+
+    out = embeddings.withColumn("bucket", signature(F.col(vec_col)))
+    if id_col != "vec_id":
+        out = out.withColumnRenamed(id_col, "vec_id")
+    return out
+
+
+def lsh_query_bucket(
+    query_vec: list[float], dim: int, n_planes: int
+) -> int:
+    """Signature of one query vector — same matrix, driver-side numpy."""
+    q = np.asarray(query_vec, dtype=np.float64).reshape(1, dim)
+    return int(_signature_bits(q, _plane_matrix(n_planes, dim))[0])
 
 
 def lsh_topk(
@@ -101,29 +144,34 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket. At scale the bucketed
-    table is written partitioned by ``bucket`` so this prunes to one
-    partition; recall measured vs cosine_topk in tests."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    qb = 0
-    for p in range(n_planes):
-        plane = np.asarray(
-            [_plane_component(p, d) for d in range(dim)], dtype=np.float64
-        )
-        if float(q @ plane) >= 0:
-            qb |= 1 << p
+    """ANN top-k: score the query's LSH bucket plus (multiprobe) all
+    buckets within ``probe_radius`` hamming distance — radius 1 roughly
+    doubles recall for (n_planes+1)× the scanned fraction;
+    radius == n_planes scans everything and equals ``cosine_topk``
+    exactly (the driver-gate configuration). At scale the bucketed table
+    is written partitioned by ``bucket`` so the filter prunes to the
+    probed partitions."""
+    qb = lsh_query_bucket(query_vec, dim, n_planes)
     bucketed = lsh_assign_buckets(embeddings, dim, n_planes, id_col, vec_col)
+    if probe_radius <= 0:
+        probed = bucketed.where(F.col("bucket") == qb)
+    else:
+        probed = bucketed.where(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb)))
+            <= probe_radius
+        )
     return cosine_topk(
-        bucketed.where(F.col("bucket") == qb),
+        probed,
         query_vec,
         k=k,
         id_col="vec_id",
         vec_col=vec_col,
+        exclude_ids=exclude_ids,
     )
 
 
@@ -137,27 +185,24 @@ def kmeans_centroids(
     n_centroids: int = 16,
     iters: int = 3,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations over DataFrame ops: assignment is a
     JVM argmin over broadcast centroids; the update is one
     posexplode+groupBy mean. Centroids (n_centroids × dim doubles) live
     on the driver — at 100 TB the train set is a sample, the loop shape
-    is identical. Init is seeded from evenly spaced rows (deterministic,
-    no RNG)."""
-    base = emb.select(as_double_array(F.col(vec_col)).alias("v")).persist()
-    n = base.count()
-    step = max(n // n_centroids, 1)
-    init = (
-        base.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.monotonically_increasing_id())
-            ),
-        )
-        .where((F.col("rn") % step == 1) | (F.lit(step) == 1))
-        .limit(n_centroids)
-        .collect()
-    )
+    is identical.
+
+    Init: the ``n_centroids`` rows with the smallest crc32(id) — a
+    deterministic hash-sample that plans as TakeOrderedAndProject
+    (per-partition top-n, merged on the driver). No global Window, no
+    single-partition stage — the round-1 init pushed the ENTIRE table
+    through one task via row_number() over an unpartitioned Window."""
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).persist()
+    init = _init_sample(base, n_centroids).collect()
     cents = [[float(x) for x in r["v"]] for r in init]
     for _ in range(iters):
         assigned = _assign_clusters(base, cents, "v")
@@ -175,6 +220,17 @@ def kmeans_centroids(
         cents = new
     base.unpersist()
     return cents
+
+
+def _init_sample(base: DataFrame, n: int) -> DataFrame:
+    """Deterministic hash-sample of n rows: smallest crc32(id), id
+    tie-break. Plans as TakeOrderedAndProject (per-partition top-n) —
+    asserted in tests/test_plans.py."""
+    return (
+        base.orderBy(F.crc32(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n)
+        .select("v")
+    )
 
 
 def _assign_clusters(
@@ -224,12 +280,13 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """ANN top-k: rank centroids by distance to the query on the driver,
     brute-force cosine inside the ``n_probe`` nearest clusters only.
-    Recall vs cosine_topk is pinned in tests."""
-    import numpy as np
-
+    ``n_probe == len(cents)`` probes everything and equals
+    ``cosine_topk`` exactly; recall at lower n_probe is pinned in
+    tests."""
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = [
         float(((np.asarray(c) - q) ** 2).sum()) for c in cents
@@ -237,12 +294,10 @@ def ivf_topk(
     probe = sorted(range(len(cents)), key=lambda i: d2[i])[:n_probe]
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     v = as_double_array(F.col(vec_col))
-    return (
-        assigned.where(F.col("cluster").isin(probe))
-        .select(
-            "vec_id",
-            (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
+    out = assigned.where(F.col("cluster").isin(probe)).select(
+        "vec_id",
+        (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
     )
+    if exclude_ids:
+        out = out.where(~F.col("vec_id").isin(exclude_ids))
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -129,3 +129,105 @@ def test_ivf_ann_recall(spark, emb):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.7, recall  # clustered data, 2-of-8 probes
+
+
+def test_lsh_exact_configs_equal_brute(spark, emb):
+    """Exactness dials: probe_radius == n_planes scans every bucket and
+    must reproduce brute-force cosine_topk verbatim; n_planes=0 pair
+    dedup must equal the brute-force pair join."""
+    from search_engine_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
+    ]
+    full_probe = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in lsh_topk(
+            emb, qvec, dim=DIM, k=10, n_planes=4, probe_radius=4,
+            exclude_ids=[0],
+        ).collect()
+    ]
+    assert full_probe == exact
+
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, threshold=THRESH).collect()
+    }
+    one_bucket = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_lsh(
+            emb, dim=DIM, threshold=THRESH, n_planes=0
+        ).collect()
+    }
+    assert one_bucket == brute
+
+
+def test_lsh_multiprobe_recall_monotone(spark, emb):
+    """Multiprobe: widening the hamming radius can only add candidates,
+    so recall vs brute force is monotone in the radius."""
+    from search_engine_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qvec = [float(x) for x in emb.where("vec_id = 1").first()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    recalls = []
+    for radius in (0, 1, 4):
+        got = {
+            r.vec_id
+            for r in lsh_topk(
+                emb, qvec, dim=DIM, k=10, n_planes=4, probe_radius=radius
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_lsh_high_dim_plan_stays_small(spark):
+    """dim=768: bucket assignment must be ONE Arrow UDF, not ~6k per-dim
+    literals in a Catalyst tree (the round-1 analysis blow-up)."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import lsh_assign_buckets
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(768)])
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    bucketed = lsh_assign_buckets(df, dim=768, n_planes=8)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, len(plan)   # literal-expansion guard
+    assert plan.count("ArrowEvalPython") == 1
+    got = bucketed.select("vec_id", "bucket").collect()
+    assert len(got) == 32
+    assert all(0 <= r.bucket < 256 for r in got)
+    # deterministic: numpy recomputation of one signature matches
+    from search_engine_spark.operators.similarity import lsh_query_bucket
+
+    v = dict(rows)[3]
+    want = lsh_query_bucket(v, dim=768, n_planes=8)
+    assert dict((r.vec_id, r.bucket) for r in got)[3] == want
+
+
+def test_kmeans_init_no_global_window(spark, emb):
+    """The round-1 init pushed the whole table through one task via
+    row_number() over an unpartitioned Window; the hash-sample init must
+    plan as TakeOrderedAndProject with no Window/Exchange-to-1."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        _init_sample,
+        as_double_array,
+    )
+
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        as_double_array(F.col("embedding")).alias("v"),
+    )
+    plan = _init_sample(base, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
