@@ -77,24 +77,40 @@ def term_matches(index: Index, stems: list[str]) -> DataFrame:
             F.col("p.positions").alias("positions"),
         )
 
+    import numpy as np
+
     from search_engine_spark.operators import codec
 
     def decode(batches):
+        # Python loops only over (term, shard) ROWS; per-posting work is
+        # numpy (decode + one concatenate per column) — the wand.py
+        # pattern. This is the at-scale read path (store_arrays=False),
+        # so no per-posting Python objects.
         for pdf in batches:
-            out = {k.name: [] for k in _DECODED_SCHEMA.fields}
+            ids_l, tfs_l, bms_l, pos_l, n_l = [], [], [], [], []
             for r in pdf.itertuples():
                 ids = codec.delta_decode_ids(r.doc_ids_enc)
-                tfs = codec.decode_tfs(r.tf_enc).astype("float64")
-                bms = codec.decode_tfs(r.bm25_tf_enc).astype("float64")
-                poss = codec.decode_positions(r.pos_enc, ids.size)
-                out["doc_id"].extend(int(i) for i in ids)
-                out["term"].extend([r.term] * ids.size)
-                out["tf"].extend(float(x) for x in tfs)
-                out["bm25_tf"].extend(float(x) for x in bms)
-                out["positions"].extend(
-                    [[int(p) for p in pl] for pl in poss]
+                ids_l.append(ids)
+                tfs_l.append(codec.decode_tfs(r.tf_enc))
+                bms_l.append(codec.decode_tfs(r.bm25_tf_enc))
+                pos_l.append(codec.decode_positions(r.pos_enc, ids.size))
+                n_l.append(ids.size)
+            if not ids_l:
+                yield pd.DataFrame(
+                    {k.name: [] for k in _DECODED_SCHEMA.fields}
                 )
-            yield pd.DataFrame(out)
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_l),
+                    "term": np.repeat(
+                        pdf["term"].to_numpy(), np.asarray(n_l)
+                    ),
+                    "tf": np.concatenate(tfs_l).astype(np.float64),
+                    "bm25_tf": np.concatenate(bms_l).astype(np.float64),
+                    "positions": [pl for pls in pos_l for pl in pls],
+                }
+            )
 
     decoded = rows.select(
         "term", "doc_ids_enc", "tf_enc", "bm25_tf_enc", "pos_enc"
