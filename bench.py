@@ -106,6 +106,15 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             q_times.append(dt)
             timings[f"q{i + 1}"] = round(dt, 4)
 
+        # batched evaluation: ONE shared posting scan for the whole query
+        # set, one job at collect — the reference-query-set shape at scale
+        from search_engine_spark.operators.query import search_many
+
+        t0 = time.perf_counter()
+        search_many(idx, QUERY_SET, k=10).collect()
+        batch_sec = time.perf_counter() - t0
+        timings["query_batch"] = round(batch_sec, 4)
+
         # dedup + similarity headliners
         from search_engine_spark.operators.dedup import (
             exact_dedup,
@@ -138,6 +147,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             "docs_per_sec": round(n_docs / build_sec, 2),
             "query_p50": round(statistics.median(q_times), 4),
             "query_p95": round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
+            "query_batched_per_query": round(batch_sec / len(QUERY_SET), 4),
             "timings": timings,
         }
     finally:
@@ -292,6 +302,7 @@ def main() -> None:
         "docs_per_sec": r["docs_per_sec"],
         "query_p50_sec": r["query_p50"],
         "query_p95_sec": r["query_p95"],
+        "query_batched_per_query_sec": r["query_batched_per_query"],
     }
     scaling = _scaling_summary()
     if scaling:

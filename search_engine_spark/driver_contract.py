@@ -276,6 +276,90 @@ FROM tf GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 20
 """
 
 
+def q_bm25_paged(spark, sf_dir):
+    """R5 pagination (ref BackendManager.java:331-356): page 1 of size 5
+    over the full ranked candidate set — rows [5, 10)."""
+    from search_engine_spark.operators.query import search_paged
+
+    idx = get_index(spark, sf_dir)
+    page_df, _total = search_paged(idx, " ".join(BM25_TERMS), page=1, size=5)
+    return page_df.select("doc_id", F.round("score", 5).alias("score"))
+
+
+SQL_BM25_PAGED = _score_sql(BM25_TERMS) + f"""
+SELECT doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 5 OFFSET 5
+"""
+
+
+def q_total_count(spark, sf_dir):
+    """Q13 (ref BackendManager.java:96-119): COUNT(DISTINCT doc_id) of
+    the query's candidate set, as a 1-row DataFrame."""
+    from search_engine_spark.operators.query import total_count
+
+    idx = get_index(spark, sf_dir)
+    n = total_count(idx, "scan OR batch")
+    return spark.createDataFrame([(n,)], "total long")
+
+
+SQL_TOTAL_COUNT = TOK_CTE + """
+SELECT count(DISTINCT doc_id)::BIGINT AS total
+FROM tf WHERE term IN ('scan', 'batch')
+"""
+
+
+def q_doc_metadata(spark, sf_dir):
+    """R6 (ref BackendManager.java:358-396): top-k results joined back to
+    the document table for display columns, rank order preserved."""
+    from search_engine_spark.operators.query import attach_doc_metadata, search
+
+    idx = get_index(spark, sf_dir)
+    res = search(idx, " ".join(BM25_TERMS), k=10)
+    out = attach_doc_metadata(
+        res, _docs(spark, sf_dir), cols=["source", "lang"]
+    )
+    return out.select(
+        "doc_id", F.round("score", 5).alias("score"), "source", "lang"
+    )
+
+
+SQL_DOC_METADATA = _score_sql(BM25_TERMS) + f""",
+topk AS (
+  SELECT doc_id, round({W_REL} * rel, 5) AS score
+  FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
+)
+SELECT t.doc_id, t.score, d.source, d.lang
+FROM topk t JOIN documents d USING (doc_id)
+"""
+
+
+def q_extract_links(spark, sf_dir):
+    """T9 link extraction (ref Crawler.java:475-489) over text
+    synthesized deterministically from doc_id: a repeated link (deduped
+    by the HashSet quirk) plus a second link with a droppable param."""
+    from search_engine_spark.operators.urls import extract_links
+
+    i = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    one = F.concat(F.lit("http://Example"), n, F.lit(".COM:80/p/"), i, F.lit("//"))
+    two = F.concat(F.lit("https://Ref.org/x?ID="), i, F.lit("&utm=1"))
+    text = F.concat(
+        F.lit("see "), one, F.lit(" and "), one, F.lit(" plus "), two
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return extract_links(docs, text_col="text")
+
+
+SQL_EXTRACT_LINKS = """
+SELECT doc_id,
+       'http://example' || (doc_id % 7) || '.com/p/' || doc_id AS link
+FROM documents
+UNION ALL
+SELECT doc_id, 'https://ref.org/x?ID=' || doc_id AS link
+FROM documents
+"""
+
+
 # --- dedup / pipeline ------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -913,6 +997,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_or": q_bool_or,
     "bool_not": q_bool_not,
     "phrase": q_phrase,
+    "bm25_paged": q_bm25_paged,
+    "total_count": q_total_count,
+    "doc_metadata": q_doc_metadata,
+    "extract_links": q_extract_links,
     "suggest_prefix": q_suggest_prefix,
     "top_terms": q_top_terms,
     "dedup_exact": q_dedup_exact,
@@ -954,6 +1042,10 @@ ORACLE_SQL: dict[str, str] = {
     "bool_or": SQL_BOOL_OR,
     "bool_not": SQL_BOOL_NOT,
     "phrase": SQL_PHRASE,
+    "bm25_paged": SQL_BM25_PAGED,
+    "total_count": SQL_TOTAL_COUNT,
+    "doc_metadata": SQL_DOC_METADATA,
+    "extract_links": SQL_EXTRACT_LINKS,
     "suggest_prefix": SQL_SUGGEST_PREFIX,
     "top_terms": SQL_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -52,7 +52,9 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def term_matches(index: Index, stems: list[str]) -> DataFrame:
+def term_matches(
+    index: Index, stems: list[str], base: DataFrame | None = None
+) -> DataFrame:
     """Q4 posting lookup: (doc_id, term, tf, tf_norm, bm25_tf, positions)
     rows for the query stems.
 
@@ -63,7 +65,14 @@ def term_matches(index: Index, stems: list[str]) -> DataFrame:
         not stored twice next to the codec): decode the delta+varint /
         float32 binaries in an Arrow UDF, then reconstruct ``tf_norm``
         (= tf / doc_len, not separately encoded) from doc_stats.
+
+    ``base``: an already-decoded matches DataFrame (MATCH_COLS) covering
+    a superset of ``stems`` — the batch path (``search_many``) decodes
+    the union of all queries' terms ONCE and every per-query plan
+    filters that shared, persisted scan instead of re-reading parquet.
     """
+    if base is not None:
+        return base.filter(F.col("term").isin(list(stems)))
     rows = index.postings.filter(F.col("term").isin(list(stems)))
     if index.cfg.store_arrays:
         return rows.select(
@@ -146,14 +155,16 @@ def _make_phrase_udf(stems: list[str], max_gap: int):
     return phrase_ok
 
 
-def phrase_matches(index: Index, stems: list[str]) -> DataFrame:
+def phrase_matches(
+    index: Index, stems: list[str], base: DataFrame | None = None
+) -> DataFrame:
     """Q6-Q8: candidate docs containing ALL stems (countDistinct == n,
     the reference's HAVING-subquery shape, QueryIndex.java:225-229), then
     the gap-3 positional check as an Arrow UDF over nested position
     arrays — positions never explode into rows (vs the reference's
     row-per-position WordPositions table)."""
     uniq = list(dict.fromkeys(stems))
-    rows = term_matches(index, uniq)
+    rows = term_matches(index, uniq, base=base)
     cand = (
         rows.groupBy("doc_id")
         .agg(
@@ -203,11 +214,44 @@ def combine_or(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
-def component_matches(index: Index, part: str) -> DataFrame:
+def component_matches(
+    index: Index, part: str, base: DataFrame | None = None
+) -> DataFrame:
     do_stem = index.cfg.stem  # query analyzer mirrors the index analyzer
     if is_phrase(part):
-        return phrase_matches(index, query_stems(strip_phrase(part), do_stem))
-    return term_matches(index, query_stems(part, do_stem))
+        return phrase_matches(
+            index, query_stems(strip_phrase(part), do_stem), base=base
+        )
+    return term_matches(index, query_stems(part, do_stem), base=base)
+
+
+def _query_matches(
+    index: Index, query: str, base: DataFrame | None = None
+) -> DataFrame:
+    """Parse + component lookup + boolean combine for one query string —
+    shared by search / search_paged / total_count."""
+    op, left, right = detect_operator(query)
+    matches = component_matches(index, left, base=base)
+    if op is not None:
+        rm = component_matches(index, right, base=base)
+        matches = {
+            "AND": combine_and,
+            "NOT": combine_not,
+            "OR": combine_or,
+        }[op](matches, rm)
+    return matches
+
+
+def query_terms_needed(index: Index, query: str) -> list[str]:
+    """Every stem any component of ``query`` will look up — the unit the
+    batch path unions across queries for its single shared scan."""
+    op, left, right = detect_operator(query)
+    parts = [left] + ([right] if op is not None else [])
+    stems: list[str] = []
+    for p in parts:
+        s = strip_phrase(p) if is_phrase(p) else p
+        stems.extend(query_stems(s, index.cfg.stem))
+    return stems
 
 
 def score_matches(
@@ -258,23 +302,45 @@ def search(
     k: int | None = None,
     mode: str = "bm25",
     page_rank: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Full reference-semantics search: returns the top-k
     (doc_id, rel, page_rank, score) with the Q6 deterministic tie-break."""
     k = k or index.cfg.topk_default
-    op, left, right = detect_operator(query)
-    lm = component_matches(index, left)
-    if op is None:
-        matches = lm
-    else:
-        rm = component_matches(index, right)
-        matches = {
-            "AND": combine_and,
-            "NOT": combine_not,
-            "OR": combine_or,
-        }[op](lm, rm)
+    matches = _query_matches(index, query, base=base)
     scored = score_matches(index, matches, mode=mode, page_rank=page_rank)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_paged(
+    index: Index,
+    query: str,
+    page: int,
+    size: int,
+    mode: str = "bm25",
+    page_rank: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """R5 pagination (ref BackendManager.java:331-356): rank the FULL
+    candidate set, return (rows [page·size, page·size+size), total).
+    Beyond-last-page → (empty, total) — the reference's
+    ``SearchResponse(emptyList, rankedDocIds.size())``. The slice plans
+    as a global-sort limit over the (small) scored set; ``total`` is the
+    ranked-candidate count, exactly ``rankedDocIds.size()``."""
+    scored = score_matches(
+        index, _query_matches(index, query), mode=mode, page_rank=page_rank
+    )
+    scored = scored.persist()
+    total = scored.count()
+    start = page * size
+    if start >= total:
+        out = scored.limit(0)
+    else:
+        out = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .offset(start)
+            .limit(size)
+        )
+    return out, total
 
 
 def search_many(
@@ -282,14 +348,31 @@ def search_many(
     queries: list[str],
     k: int | None = None,
     mode: str = "bm25",
+    page_rank: DataFrame | None = None,
 ) -> DataFrame:
-    """Batch evaluation: one DataFrame (query, doc_id, score, rank) for a
-    list of queries — unions the per-query top-k plans so Spark runs them
-    as one job (shared scans)."""
+    """Batch evaluation: one DataFrame (query, doc_id, rel, page_rank,
+    score) holding every query's top-k.
+
+    Scale shape: the expensive part of a query — posting scan + codec
+    decode + explode — is done ONCE for the union of all queries' stems
+    (one ``term.isin(...)`` pushed scan, persisted), and each per-query
+    plan filters that shared base. The per-query combine/score stages
+    then run over candidate-set-sized data only, and the union collapses
+    the batch into a single Spark job at collect time. Round-1 shape was
+    N independent plans = N full scans."""
+    all_stems: list[str] = []
+    for q in queries:
+        all_stems.extend(query_terms_needed(index, q))
+    all_stems = list(dict.fromkeys(all_stems))
+    base = term_matches(index, all_stems)
+    if len(queries) > 1 and all_stems:
+        base = base.persist()
     parts = []
     for q in queries:
         parts.append(
-            search(index, q, k=k, mode=mode).withColumn("query", F.lit(q))
+            search(
+                index, q, k=k, mode=mode, page_rank=page_rank, base=base
+            ).withColumn("query", F.lit(q))
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -328,16 +411,9 @@ def total_count(index: Index, query: str) -> int:
     """Q13 (ref BackendManager.java:96-119): COUNT(DISTINCT doc_id) over
     the query's candidate set. (Dead code in the reference — search()
     uses documents.size() instead — kept for API parity.)"""
-    op, left, right = detect_operator(query)
-    matches = component_matches(index, left)
-    if op is not None:
-        rm = component_matches(index, right)
-        matches = {
-            "AND": combine_and,
-            "NOT": combine_not,
-            "OR": combine_or,
-        }[op](matches, rm)
-    return matches.select("doc_id").distinct().count()
+    return (
+        _query_matches(index, query).select("doc_id").distinct().count()
+    )
 
 
 def attach_doc_metadata(

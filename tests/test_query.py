@@ -157,3 +157,56 @@ def test_codec_only_profile_rank_identity(spark, corpus_df):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (_, sa), (_, sb) in zip(a, b):
             assert math.isclose(sa, sb, rel_tol=1e-5), q
+
+
+def test_search_paged_reference_semantics(spark_index):
+    """R5 (BackendManager.java:331-356): offset slice, partial last page,
+    beyond-last-page -> (empty, total)."""
+    from search_engine_spark.operators.query import search, search_paged
+
+    full = search(spark_index, "banana recipe", k=100000).collect()
+    total_expected = len(full)
+    assert total_expected > 3
+
+    size = max(total_expected // 3, 1)
+    seen = []
+    page = 0
+    while True:
+        df, total = search_paged(spark_index, "banana recipe", page, size)
+        rows = df.collect()
+        assert total == total_expected
+        if not rows:
+            break
+        seen.extend((r.doc_id, round(r.score, 9)) for r in rows)
+        page += 1
+    assert seen == [(r.doc_id, round(r.score, 9)) for r in full]
+
+    # far beyond the last page: empty page, correct total
+    df, total = search_paged(spark_index, "banana recipe", page + 50, size)
+    assert df.count() == 0 and total == total_expected
+
+
+def test_search_many_matches_per_query_search(spark_index):
+    """The shared-scan batch path must be value-identical to N
+    independent search() calls for every query shape (plain, boolean,
+    phrase)."""
+    from search_engine_spark.operators.query import search, search_many
+
+    queries = [
+        "banana recipe",
+        "banana AND recipe",
+        "banana OR recipe",
+        "banana NOT recipe",
+        '"banana recipe"',
+        "zzz_absent",
+    ]
+    batched = search_many(spark_index, queries, k=10).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r.query, []).append((r.doc_id, round(r.score, 9)))
+    for q in queries:
+        exp = [
+            (r.doc_id, round(r.score, 9))
+            for r in search(spark_index, q, k=10).collect()
+        ]
+        assert got.get(q, []) == exp, q
