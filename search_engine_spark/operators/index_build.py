@@ -270,9 +270,24 @@ def build_index(
     text_col: str = "content",
     doc_id_col: str = "doc_id",
     cfg: EngineConfig = DEFAULT,
+    sections: list[tuple[str, str]] | None = None,
 ) -> Index:
-    """Full index build. See module docstring for the plan shape."""
-    tok = tokenize_docs(docs, text_col, doc_id_col, cfg)
+    """Full index build. See module docstring for the plan shape.
+
+    ``sections``: ordered (column, section_label) pairs switch on the
+    weighted multi-section analyzer (T5/T6, ref Tokenizer.java:26-33,
+    126-253) — ``tf`` becomes the section-weighted count and ``doc_len``
+    the reference's re-validated totalTokens, so ``tf_norm`` equals the
+    reference's stored ``frequency``. Omitted → the single-content-
+    section analyzer (the source-code corpus mapping)."""
+    if sections is not None:
+        from search_engine_spark.operators.tokenize import (
+            tokenize_docs_sectioned,
+        )
+
+        tok = tokenize_docs_sectioned(docs, sections, doc_id_col, cfg)
+    else:
+        tok = tokenize_docs(docs, text_col, doc_id_col, cfg)
     tok = tok.persist()
 
     doc_stats = tok.select(

@@ -172,6 +172,190 @@ def tokenize_docs(
     )
 
 
+# --------------------------------------------------------------------------
+# T5/T6: weighted multi-section tokenization (ref Tokenizer.java:26-33,
+# 126-253). The corpus arrives as a table, so "sections" are typed columns
+# (string = one element, array<string> = repeated elements of that section
+# kind, e.g. many <p> texts). Semantics preserved from the reference:
+#   * section weights title=5.0, h1..h6=4.0/3.0/2.5/2.0/1.8/1.5,
+#     content=1.0 (Tokenizer.java:26-33)
+#   * per-ELEMENT position restart: positions are indexes into each
+#     element's own valid-token sequence (processText's loop,
+#     Tokenizer.java:231-248) — a term in two <p>s gets two position lists
+#     starting at their own 0
+#   * per-term accumulate: count += section weight per occurrence; the
+#     stored section label is the highest-weight section the term appeared
+#     in (Tokenizer.java:239-247)
+#   * quirk Q1 (double counting): the reference extracts p, div, li, span,
+#     article/section element TEXT including nested children, so the same
+#     words are counted once per enclosing element. A caller reproduces
+#     this by putting the nested texts into the content array — the
+#     tokenizer itself faithfully counts every element it is given.
+#   * n_tokens quirk: the reference's totalTokens re-validates the
+#     STEMMED words (countTokens runs isValidWord over tokenizeString's
+#     output, Tokenizer.java:250-254) — a word whose stem collapses to a
+#     stopword or below min length is indexed but NOT counted in the TF
+#     denominator. Preserved bit-for-bit.
+# --------------------------------------------------------------------------
+
+SECTION_WEIGHTS = {
+    "title": 5.0,
+    "h1": 4.0,
+    "h2": 3.0,
+    "h3": 2.5,
+    "h4": 2.0,
+    "h5": 1.8,
+    "h6": 1.5,
+    "content": 1.0,
+}
+
+SECTION_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "tokens",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType()),
+                        T.StructField("tf", T.DoubleType()),
+                        T.StructField("top_section", T.StringType()),
+                        T.StructField("importance", T.DoubleType()),
+                        T.StructField("positions", T.ArrayType(T.IntegerType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+)
+
+
+def make_tokenize_sections_udf(cfg: EngineConfig = DEFAULT):
+    """Arrow pandas UDF: array<struct<section,text>> ->
+    struct(tokens array, n_tokens). ``tf`` is the RAW weighted count
+    (Σ section_weight per occurrence); downstream ``tf / n_tokens``
+    reproduces the reference's stored ``frequency`` (the normalization at
+    Tokenizer.java:222-227)."""
+    pattern = cfg.token_pattern
+    min_len, max_len = cfg.min_word_len, cfg.max_word_len
+    do_stem = cfg.stem
+    stopset = STOPWORDS if cfg.remove_stopwords else frozenset()
+    do_stop = cfg.remove_stopwords
+
+    @pandas_udf(SECTION_TOKENS_SCHEMA)
+    def tokenize(elements: pd.Series) -> pd.DataFrame:
+        findall = re.compile(pattern).findall
+        stem = porter_stem
+        toks_col, n_col = [], []
+        for elems in elements:
+            acc: dict[str, list] = {}  # term -> [count, top_sec, top_w, poss]
+            total = 0
+            for e in elems if elems is not None else []:
+                text = e["text"]
+                if not text:
+                    continue
+                sec = e["section"]
+                w = SECTION_WEIGHTS.get(sec, SECTION_WEIGHTS["content"])
+                words = [
+                    (stem(t) if do_stem else t)
+                    for t in findall(text.lower())
+                    if min_len <= len(t) <= max_len
+                    and t.isascii()
+                    and t.isalpha()
+                    and (not do_stop or t not in stopset)
+                ]
+                # countTokens quirk: totalTokens re-validates the STEMS
+                total += sum(
+                    1
+                    for s in words
+                    if min_len <= len(s) <= max_len
+                    and s.isascii()
+                    and s.isalpha()
+                    and (not do_stop or s not in stopset)
+                )
+                for i, word in enumerate(words):
+                    ent = acc.get(word)
+                    if ent is None:
+                        acc[word] = [w, sec, w, [i]]
+                    else:
+                        ent[0] += w
+                        if w > ent[2]:
+                            ent[1], ent[2] = sec, w
+                        ent[3].append(i)
+            toks_col.append(
+                [
+                    {
+                        "term": t,
+                        "tf": v[0],
+                        "top_section": v[1],
+                        "importance": v[2],
+                        "positions": v[3],
+                    }
+                    for t, v in acc.items()
+                ]
+            )
+            n_col.append(total)
+        return pd.DataFrame({"tokens": toks_col, "n_tokens": n_col})
+
+    return tokenize
+
+
+def tokenize_docs_sectioned(
+    df: DataFrame,
+    sections: list[tuple[str, str]],
+    doc_id_col: str = "doc_id",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Weighted multi-section tokenization over typed section columns.
+
+    ``sections``: ordered (column, section_label) pairs; a string column
+    is one element, an array<string> column is repeated elements of that
+    section kind. Output: (doc_id, tokens array<struct<term, tf,
+    top_section, importance, positions>>, n_tokens). Map-side only — the
+    element flattening is JVM array algebra, the analysis is one Arrow
+    UDF."""
+    dtypes = dict(df.dtypes)
+
+    def _tag(lbl):
+        # (one-arg lambda: a two-arg lambda would make transform() bind
+        # the element INDEX to the second parameter)
+        return lambda t: F.struct(
+            F.lit(lbl).alias("section"), t.alias("text")
+        )
+
+    parts = []
+    for colname, label in sections:
+        if dtypes[colname].startswith("array"):
+            parts.append(
+                F.transform(
+                    F.coalesce(
+                        F.col(colname),
+                        F.array().cast("array<string>"),
+                    ),
+                    _tag(label),
+                )
+            )
+        else:
+            parts.append(
+                F.array(
+                    F.struct(
+                        F.lit(label).alias("section"),
+                        F.col(colname).alias("text"),
+                    )
+                )
+            )
+    combined = F.flatten(F.array(*parts))
+    udf = make_tokenize_sections_udf(cfg)
+    tk = df.select(
+        F.col(doc_id_col).alias("doc_id"), udf(combined).alias("tk")
+    )
+    return tk.select(
+        "doc_id",
+        F.col("tk.tokens").alias("tokens"),
+        F.col("tk.n_tokens").alias("n_tokens"),
+    )
+
+
 def simple_split_tokens(text_col: Column, min_len: int = 2) -> Column:
     """JVM-side whitespace tokenizer for SQL-oracle-checked operators:
     split on spaces, keep purely-alphabetic tokens of len >= min_len.

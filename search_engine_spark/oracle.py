@@ -74,6 +74,58 @@ def oracle_build(
     return idx
 
 
+def oracle_tokenize_sections(
+    elements: list[tuple[str, str]], cfg: EngineConfig = DEFAULT
+) -> tuple[dict, int]:
+    """Independent transcription of the reference's weighted sectioned
+    tokenizer (Tokenizer.java:126-253): per-element processText with
+    count += section weight, per-element position restart, max-weight
+    section label, and the countTokens quirk (totalTokens re-validates
+    the STEMMED words, Tokenizer.java:250-254).
+
+    ``elements``: (section_label, text) in processing order. Returns
+    (term -> {count, top_section, importance, positions}, total_tokens).
+    The reference then stores frequency = count / total_tokens."""
+    from search_engine_spark.operators.tokenize import SECTION_WEIGHTS
+
+    def _valid(w: str) -> bool:
+        return (
+            cfg.min_word_len <= len(w) <= cfg.max_word_len
+            and w.isascii()
+            and w.isalpha()
+            and (not cfg.remove_stopwords or w not in _stopset())
+        )
+
+    def _stopset():
+        from search_engine_spark.functions.stopwords import STOPWORDS
+
+        return STOPWORDS
+
+    acc: dict[str, dict] = {}
+    total = 0
+    for section, text in elements:
+        if not text:
+            continue
+        weight = SECTION_WEIGHTS.get(section, SECTION_WEIGHTS["content"])
+        words = tokenize_valid(text, cfg)
+        total += sum(1 for s in words if _valid(s))
+        for i, w in enumerate(words):
+            ent = acc.get(w)
+            if ent is None:
+                acc[w] = {
+                    "count": weight,
+                    "top_section": section,
+                    "importance": weight,
+                    "positions": [i],
+                }
+            else:
+                ent["count"] += weight
+                if weight > ent["importance"]:
+                    ent["top_section"], ent["importance"] = section, weight
+                ent["positions"].append(i)
+    return acc, total
+
+
 def bm25_tf(tf: float, dl: float, idx: OracleIndex) -> float:
     k1, b = idx.cfg.bm25_k1, idx.cfg.bm25_b
     avgdl = max(idx.avgdl, 1e-12)

@@ -69,7 +69,15 @@ def test_postings_match_oracle(spark_index, oracle_idx):
         pos = codec.decode_positions(r["pos_enc"], len(ids))
         assert pos == [list(p["positions"]) for p in r["postings"]]
         # block max
-        assert max(r["block_max"]) == r["max_bm25_tf"]
+        # block_max is computed over the float32-ROUNDTRIPPED bm25 values
+        # (so the WAND UB bounds what query-time decode actually sees);
+        # it must dominate every decoded value and sit within float32
+        # epsilon of the float64 max
+        decoded_bm = codec.decode_tfs(r["bm25_tf_enc"]).astype("float64")
+        assert max(r["block_max"]) == float(decoded_bm.max())
+        assert abs(max(r["block_max"]) - r["max_bm25_tf"]) <= abs(
+            r["max_bm25_tf"]
+        ) * 1e-6
         for p in r["postings"]:
             got.setdefault(r["term"], {})[p["doc_id"]] = (
                 p["tf"],
