@@ -203,6 +203,50 @@ def pagerank(
     return ranks.select("doc_id", F.col("rank").alias("page_rank"))
 
 
+def write_back_pagerank(
+    spark,
+    docs_path: str,
+    edges: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+) -> int:
+    """G3 rank write-back (ref Data/DataBaseManager.java:59-74: batched
+    ``UPDATE DocumentMetaData SET page_rank = ? WHERE id = ?``): compute
+    PageRank over ``edges`` and MERGE the ranks onto the docs table at
+    ``docs_path`` as its ``page_rank`` column (docs absent from the graph
+    keep/get 0.0 — the reference's column default).
+
+    Parquet has no in-place UPDATE, so the merge is a staged rewrite with
+    an atomic directory swap (write to ``<path>.staging``, rename over) —
+    on Iceberg this whole function is one ``MERGE INTO`` snapshot commit,
+    and the staging dance disappears. Returns the number of docs that
+    received a nonzero rank."""
+    import os
+    import shutil
+
+    docs = spark.read.parquet(docs_path)
+    pr = pagerank(edges, docs.select(F.col(id_col).alias("doc_id")), cfg=cfg)
+    merged = (
+        docs.drop("page_rank")
+        .join(
+            pr.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .withColumn("page_rank", F.coalesce(F.col("page_rank"), F.lit(0.0)))
+    )
+    staging = docs_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    n_ranked = (
+        spark.read.parquet(staging).where(F.col("page_rank") > 0.0).count()
+    )
+    old = docs_path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(docs_path, old)
+    os.rename(staging, docs_path)
+    shutil.rmtree(old)
+    return n_ranked
+
+
 def repo_link_graph(corpus: DataFrame) -> DataFrame:
     """Synthetic link graph for the source-code corpus (SURVEY.md §7
     Phase 3): docs in the same repo form a ring (each file links to the

@@ -115,3 +115,76 @@ def test_distributed_path_matches_local(spark):
     assert set(dist) == set(loc)
     for k in dist:
         assert math.isclose(dist[k], loc[k], rel_tol=0, abs_tol=5e-5), k
+
+
+def test_write_back_pagerank_merge(spark, tmp_path):
+    """G3 (DataBaseManager.java:59-74): ranks computed from the link graph
+    are persisted onto the docs table; unlinked docs keep page_rank 0.0;
+    the swap is atomic (no .staging/.old leftovers). The rewritten table
+    must match the independent numpy fixpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.pagerank import write_back_pagerank
+    from search_engine_spark.oracle import oracle_pagerank
+
+    docs_path = str(tmp_path / "docs")
+    rows = [(i, f"repo{i % 3}", f"content {i}") for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id: long, repo: string, content: string"
+    ).write.parquet(docs_path)
+
+    # ring within each repo; doc 29 left dangling by construction
+    edge_rows = [(i, i + 3) for i in range(0, 24)]
+    edges = spark.createDataFrame(edge_rows, "src: long, dst: long")
+
+    n_ranked = write_back_pagerank(spark, docs_path, edges)
+    assert n_ranked > 0
+
+    out = spark.read.parquet(docs_path)
+    assert "page_rank" in out.columns
+    assert out.count() == 30
+    got = {r.doc_id: r.page_rank for r in out.collect()}
+    want = oracle_pagerank(edge_rows, list(range(30)))
+    for d in range(30):
+        assert abs(got[d] - want[d]) < 1e-6, d
+    # original columns intact
+    assert {"doc_id", "repo", "content", "page_rank"} == set(out.columns)
+    # atomic swap left no staging debris
+    parent = os.path.dirname(docs_path)
+    assert not any(x.endswith((".staging", ".old")) for x in os.listdir(parent))
+
+    # idempotent re-run (the job can be re-submitted)
+    write_back_pagerank(spark, docs_path, edges)
+    got2 = {r.doc_id: r.page_rank for r in spark.read.parquet(docs_path).collect()}
+    for d in range(30):
+        assert abs(got2[d] - got[d]) < 1e-12
+
+
+def test_pagerank_job_cli(spark, tmp_path):
+    """Job-level: jobs/pagerank_job.py main() over --docs with the repo
+    ring graph fallback."""
+    import subprocess
+    import sys
+    import json as _json
+    import os
+
+    docs_path = str(tmp_path / "docs")
+    rows = [(i, f"repo{i % 2}", f"content {i}") for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id: long, repo: string, content: string"
+    ).write.parquet(docs_path)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/pagerank_job.py", "--docs", docs_path],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["n_docs"] == 20 and report["n_ranked"] > 0
+
+    out = spark.read.parquet(docs_path)
+    assert out.where("page_rank > 0").count() == report["n_ranked"]
