@@ -276,6 +276,102 @@ FROM tf GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 20
 """
 
 
+def _closed_form_pr(spark, sf_dir) -> DataFrame:
+    """Deterministic SQL-expressible page_rank assignment: the mix
+    arithmetic (R2: 0.7·rel + 0.3·pr) gets oracle-checked without
+    needing an iterative fixpoint in ANSI SQL."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 100) / 100.0).alias("page_rank"),
+    )
+
+
+PR_SQL_EXPR = "((doc_id * 37) % 100) / 100.0"
+
+
+def q_bm25_pr_topk(spark, sf_dir):
+    """R2 mixed scoring through the exhaustive path."""
+    from search_engine_spark.operators.query import search
+
+    idx = get_index(spark, sf_dir)
+    return search(
+        idx,
+        " ".join(BM25_TERMS),
+        k=10,
+        page_rank=_closed_form_pr(spark, sf_dir),
+    ).select("doc_id", F.round("score", 5).alias("score"))
+
+
+SQL_BM25_PR_TOPK = _score_sql(BM25_TERMS) + f"""
+SELECT doc_id,
+       round({W_REL} * rel + {1.0 - W_REL} * ({PR_SQL_EXPR}), 5) AS score
+FROM scored
+ORDER BY {W_REL} * rel + {1.0 - W_REL} * ({PR_SQL_EXPR}) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q_wand_pr_topk(spark, sf_dir):
+    """R2 mixed scoring through block-max WAND (per-shard max-pr upper
+    bound) — shares the exhaustive path's SQL, so the driver hash-check
+    doubles as the mixed-score WAND exactness gate."""
+    from search_engine_spark.operators.wand import search_wand
+
+    idx = get_index(spark, sf_dir)
+    return search_wand(
+        idx,
+        " ".join(BM25_TERMS),
+        k=10,
+        page_rank=_closed_form_pr(spark, sf_dir),
+    ).select("doc_id", F.round("score", 5).alias("score"))
+
+
+SQL_WAND_PR_TOPK = SQL_BM25_PR_TOPK
+
+BATCH_QUERIES = [" ".join(BM25_TERMS), "scan AND batch", "scan OR batch"]
+
+
+def q_search_batched(spark, sf_dir):
+    """Batched evaluation (one shared posting scan for the whole set) —
+    must be value-identical to the per-query results, so its oracle is
+    the UNION ALL of the per-query SQL."""
+    from search_engine_spark.operators.query import search_many
+
+    idx = get_index(spark, sf_dir)
+    return search_many(idx, BATCH_QUERIES, k=10).select(
+        "query", "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+def _sql_search_batched() -> str:
+    parts = []
+    for q, sql in [
+        (BATCH_QUERIES[0], _score_sql(BM25_TERMS)),
+        (
+            BATCH_QUERIES[1],
+            _score_sql(
+                ["scan"],
+                cand_filter=(
+                    "AND tf.doc_id IN "
+                    "(SELECT doc_id FROM tf WHERE term = 'batch')"
+                ),
+            ),
+        ),
+        (BATCH_QUERIES[2], _score_sql(["scan", "batch"])),
+    ]:
+        parts.append(
+            sql
+            + f"""
+SELECT '{q}' AS query, doc_id, round({W_REL} * rel, 5) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
+"""
+        )
+    return "\nUNION ALL\n".join(f"({p})" for p in parts)
+
+
+SQL_SEARCH_BATCHED = _sql_search_batched()
+
+
 def q_bm25_paged(spark, sf_dir):
     """R5 pagination (ref BackendManager.java:331-356): page 1 of size 5
     over the full ranked candidate set — rows [5, 10)."""
@@ -997,6 +1093,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_or": q_bool_or,
     "bool_not": q_bool_not,
     "phrase": q_phrase,
+    "bm25_pr_topk": q_bm25_pr_topk,
+    "wand_pr_topk": q_wand_pr_topk,
+    "search_batched": q_search_batched,
     "bm25_paged": q_bm25_paged,
     "total_count": q_total_count,
     "doc_metadata": q_doc_metadata,
@@ -1042,6 +1141,9 @@ ORACLE_SQL: dict[str, str] = {
     "bool_or": SQL_BOOL_OR,
     "bool_not": SQL_BOOL_NOT,
     "phrase": SQL_PHRASE,
+    "bm25_pr_topk": SQL_BM25_PR_TOPK,
+    "wand_pr_topk": SQL_WAND_PR_TOPK,
+    "search_batched": SQL_SEARCH_BATCHED,
     "bm25_paged": SQL_BM25_PAGED,
     "total_count": SQL_TOTAL_COUNT,
     "doc_metadata": SQL_DOC_METADATA,

@@ -259,17 +259,27 @@ def score_matches(
     matches: DataFrame,
     mode: str = "bm25",
     page_rank: DataFrame | None = None,
+    stems: list[str] | None = None,
 ) -> DataFrame:
     """R1-R4: per-doc relevance Σ idf·w(tf) + 0.7/0.3 PageRank mix.
 
     term_stats is filtered to the handful of query terms and broadcast —
     the groupBy(doc_id) partial-aggregates map-side before the exchange.
-    """
-    idf = F.broadcast(
-        index.term_stats.select("term", "idf").join(
-            matches.select("term").distinct(), "term", "left_semi"
+    When the caller knows the stems (always true inside ``search``), the
+    filter is a driver-side ``isin`` — one broadcast exchange, no
+    semi-join sub-plan against the matches."""
+    if stems:
+        idf = F.broadcast(
+            index.term_stats.filter(
+                F.col("term").isin(list(stems))
+            ).select("term", "idf")
         )
-    )
+    else:
+        idf = F.broadcast(
+            index.term_stats.select("term", "idf").join(
+                matches.select("term").distinct(), "term", "left_semi"
+            )
+        )
     weighted = matches.join(idf, "term")
     rel_term = (
         F.col("idf") * F.col("bm25_tf")
@@ -308,7 +318,13 @@ def search(
     (doc_id, rel, page_rank, score) with the Q6 deterministic tie-break."""
     k = k or index.cfg.topk_default
     matches = _query_matches(index, query, base=base)
-    scored = score_matches(index, matches, mode=mode, page_rank=page_rank)
+    scored = score_matches(
+        index,
+        matches,
+        mode=mode,
+        page_rank=page_rank,
+        stems=query_terms_needed(index, query),
+    )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -327,7 +343,11 @@ def search_paged(
     as a global-sort limit over the (small) scored set; ``total`` is the
     ranked-candidate count, exactly ``rankedDocIds.size()``."""
     scored = score_matches(
-        index, _query_matches(index, query), mode=mode, page_rank=page_rank
+        index,
+        _query_matches(index, query),
+        mode=mode,
+        page_rank=page_rank,
+        stems=query_terms_needed(index, query),
     )
     scored = scored.persist()
     total = scored.count()
