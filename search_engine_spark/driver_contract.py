@@ -789,6 +789,99 @@ def q_pagerank_top(spark, sf_dir):
     )
 
 
+def _ring_edges(spark, sf_dir):
+    """Deterministic chain graph per `source` group — shared by every
+    pagerank gate entry."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+
+PR_FIXED_ITERS = 5
+
+
+def _q_pagerank_fixed(spark, sf_dir, local_threshold=None):
+    from search_engine_spark.operators.pagerank import pagerank
+
+    kw = {"pagerank_epsilon": -1.0, "pagerank_max_iter": PR_FIXED_ITERS}
+    if local_threshold is not None:
+        kw["pagerank_local_threshold"] = local_threshold
+    cfg = EngineConfig(**kw)
+    pr = pagerank(
+        _ring_edges(spark, sf_dir),
+        _docs(spark, sf_dir).select("doc_id"),
+        cfg=cfg,
+    )
+    return pr.select("doc_id", F.round("page_rank", 8).alias("page_rank"))
+
+
+def q_pagerank_fixed(spark, sf_dir):
+    """G2 with ε disabled → exactly PR_FIXED_ITERS power iterations, so
+    the fixpoint becomes ANSI-SQL-expressible (unrolled-iteration CTEs in
+    the oracle). Runs the numpy local path (n below the size switch)."""
+    return _q_pagerank_fixed(spark, sf_dir)
+
+
+def q_pagerank_fixed_dist(spark, sf_dir):
+    """Same computation FORCED through the distributed iterative-join
+    loop (local_threshold=0) — the loop that runs at 100 TB gets
+    hash-checked against the same oracle as the numpy path."""
+    return _q_pagerank_fixed(spark, sf_dir, local_threshold=0)
+
+
+def _sql_pagerank_fixed(n_iter: int = PR_FIXED_ITERS) -> str:
+    """Power iteration unrolled into one CTE per step: identical update
+    rule to the engine (teleport + d·(in_sum + dangling/N)), no
+    recursion needed."""
+    d = 0.85
+    n = "(SELECT n FROM params)"
+    sql = """
+WITH nodes AS (SELECT doc_id FROM documents),
+params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS dst
+    FROM documents)
+  WHERE dst IS NOT NULL
+),
+outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+pr0 AS (SELECT doc_id, 1.0 / (SELECT n FROM params) AS rank FROM nodes)
+"""
+    for k in range(n_iter):
+        sql += f""",
+dang{k} AS (
+  SELECT COALESCE(sum(p.rank), 0) AS m
+  FROM pr{k} p LEFT JOIN outdeg o ON o.src = p.doc_id
+  WHERE o.src IS NULL
+),
+pr{k + 1} AS (
+  SELECT n.doc_id,
+         (1 - {d}) / {n}
+         + {d} * (COALESCE(s.in_sum, 0) + (SELECT m FROM dang{k}) / {n})
+         AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.rank / o.od) AS in_sum
+    FROM edges e
+    JOIN pr{k} p ON p.doc_id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.doc_id = n.doc_id
+)
+"""
+    sql += f"\nSELECT doc_id, round(rank, 8) AS page_rank FROM pr{n_iter}"
+    return sql
+
+
+SQL_PAGERANK_FIXED = _sql_pagerank_fixed()
+
+
 def q_lsh_ann(spark, sf_dir):
     """Random-hyperplane LSH ANN (bucketed) — the scale path for
     similarity search; checked rows-only (recall vs brute force is a
@@ -1114,6 +1207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "events_recent": q_events_recent,
     "pricing_summary": q_pricing_summary,
+    "pagerank_fixed": q_pagerank_fixed,
+    "pagerank_fixed_dist": q_pagerank_fixed_dist,
     # rows-only:
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
@@ -1155,6 +1250,8 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "pagerank_fixed": SQL_PAGERANK_FIXED,
+    "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,
     "lsh_ann_exact": SQL_ANN_COSINE,
     "ivf_ann_exact": SQL_ANN_COSINE,
