@@ -386,7 +386,11 @@ def search_many(
     all_stems = list(dict.fromkeys(all_stems))
     base = term_matches(index, all_stems)
     if len(queries) > 1 and all_stems:
+        # eager materialization: one small job fills the cache before the
+        # union plan runs, so concurrent branches never race to compute
+        # the shared scan (lazy persist let every branch kick it off)
         base = base.persist()
+        base.count()
     parts = []
     for q in queries:
         parts.append(
