@@ -950,10 +950,24 @@ def q_embed_dup_lsh_exact(spark, sf_dir):
 
 
 def q_fingerprint_rolling(spark, sf_dir):
-    """Arrow-UDF rolling-hash fingerprint (rows-only: custom hash)."""
+    """Arrow-UDF rolling-hash fingerprint. The polynomial hash
+    (h·1000003 + codepoint mod 2^61−1) is reproduced independently in
+    the oracle via HUGEINT list_reduce — hash-checked, not rows-only."""
     from search_engine_spark.operators.textstats import fingerprint_rolling
 
     return fingerprint_rolling(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT_ROLLING = """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(0::HUGEINT,
+      list_transform(range(1, len(coalesce(text, '')) + 1),
+                     i -> ord(substr(text, i, 1))::HUGEINT)),
+    (h, c) -> (h * 1000003 + c) % 2305843009213693951
+  ) AS BIGINT) AS fp
+FROM documents
+"""
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -1260,6 +1274,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
+    "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
     "events_recent": SQL_EVENTS_RECENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "media_stats": SQL_MEDIA_STATS,

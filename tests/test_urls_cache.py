@@ -113,3 +113,38 @@ def test_total_count_and_metadata(spark, spark_index, corpus_df):
     assert "path" in out.columns and "repo" in out.columns
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_extract_links_job_cli(spark, tmp_path):
+    """S6 job-level: raw (doc_id, extracted_link) sink + resolved
+    (src, dst) edges via --resolve."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs")
+    rows = [
+        (i, f"see http://site.com/d{(i + 1) % 6} now", f"http://site.com/d{i}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, url: string"
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "links")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/extract_links_job.py",
+         "--docs", docs_path, "--output", out, "--resolve"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["n_links"] == 6 and report["n_edges"] == 6
+
+    links = spark.read.parquet(out)
+    assert set(links.columns) == {"doc_id", "extracted_link"}
+    edges = {(r.src, r.dst) for r in spark.read.parquet(out + "_edges").collect()}
+    assert edges == {(i, (i + 1) % 6) for i in range(6)}
