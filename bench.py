@@ -115,6 +115,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         batch_sec = time.perf_counter() - t0
         timings["query_batch"] = round(batch_sec, 4)
 
+        # block-max WAND over the codec binaries — the store_arrays=False
+        # at-scale read path (decoded posting arrays never touched)
+        from search_engine_spark.operators.wand import search_wand
+
+        t0 = time.perf_counter()
+        search_wand(idx, QUERY_SET[0], k=10).collect()
+        timings["q1_wand"] = round(time.perf_counter() - t0, 4)
+
         # dedup + similarity headliners
         from search_engine_spark.operators.dedup import (
             exact_dedup,
