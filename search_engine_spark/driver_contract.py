@@ -239,6 +239,123 @@ FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 100000
 """
 
 
+def q_bm25_codec_topk(spark, sf_dir):
+    """Same BM25 top-k through the store_arrays=False storage profile:
+    postings carry ONLY the delta+varint/float32 codec binaries, and the
+    query path decodes them in the Arrow UDF (query.term_matches' numpy
+    path) — the at-scale layout's read path, hash-checked against the
+    same oracle as the array-backed plan."""
+    from search_engine_spark.operators.query import search
+
+    idx = _INDEX_CACHE.get(sf_dir + "#codec")
+    if idx is None:
+        cfg = EngineConfig(
+            stem=False, remove_stopwords=False, store_arrays=False
+        )
+        idx = build_index(
+            _docs(spark, sf_dir), text_col="text", doc_id_col="doc_id",
+            cfg=cfg,
+        )
+        idx.postings = idx.postings.persist()
+        idx.doc_stats = idx.doc_stats.persist()
+        _INDEX_CACHE[sf_dir + "#codec"] = idx
+    return search(idx, " ".join(BM25_TERMS), k=10).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+SQL_BM25_CODEC_TOPK = SQL_BM25_TOPK
+
+
+def q_resumable_topk(spark, sf_dir):
+    """Same BM25 top-k, but the index comes from the RESUMABLE builder
+    (batch manifests + finalize-from-raw compaction) — run twice with a
+    crash boundary (max_batches=1, then completion), so the driver
+    hash-check pins checkpoint-resume == one-shot == SQL."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators.index_build import Index
+    from search_engine_spark.operators.index_checkpoint import (
+        ResumableIndexBuild,
+    )
+    from search_engine_spark.operators.query import search
+
+    work = tempfile.mkdtemp(prefix="se_resume_gate_")
+    try:
+        cfg = EngineConfig(
+            stem=False, remove_stopwords=False, docs_per_shard=128
+        )
+        docs = _docs(spark, sf_dir)
+        b = ResumableIndexBuild(
+            docs, work, cfg=cfg, text_col="text", shards_per_batch=2
+        )
+        b.run(max_batches=1)   # simulate a crash after one batch
+        b.run()                # resume: remaining batches + finalize
+        idx = Index.load(spark, work)
+        idx.postings = idx.postings.persist()
+        out = search(idx, " ".join(BM25_TERMS), k=10).select(
+            "doc_id", F.round("score", 5).alias("score")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_RESUMABLE_TOPK = SQL_BM25_TOPK
+
+
+def q_sectioned_postings(spark, sf_dir):
+    """T5/T6 weighted multi-section analyzer through the full index
+    build: title section (synthesized deterministically, weight 5.0) +
+    the document text as the content section (weight 1.0). With the
+    SIMPLE analyzer (no stem/stopwords) the weighted tf and the quirky
+    totalTokens are both closed-form in SQL."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("guide "), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" manual"),
+        ).alias("title"),
+        F.col("text"),
+    )
+    idx = build_index(
+        docs,
+        cfg=SIMPLE_CFG,
+        sections=[("title", "title"), ("text", "content")],
+    )
+    return idx.postings.select(
+        "term", F.explode("postings").alias("p")
+    ).select(
+        "p.doc_id",
+        "term",
+        F.round("p.tf", 6).alias("tf"),
+        F.round("p.tf_norm", 6).alias("tf_norm"),
+    )
+
+
+# title tokens: 'guide', str(doc_id%5) — digits FAIL the ^[a-z]+$ gate —
+# and 'manual'; so per doc the title contributes tf 5.0 to 'guide' and
+# 'manual' and 2 to the valid-token count
+SQL_SECTIONED_POSTINGS = TOK_CTE + """
+, title_tf AS (
+  SELECT doc_id, t.term, 5.0 AS tf
+  FROM documents, (VALUES ('guide'), ('manual')) AS t(term)
+),
+all_tf AS (
+  SELECT doc_id, term, sum(tf) AS tf FROM (
+    SELECT doc_id, term, tf FROM tf
+    UNION ALL
+    SELECT doc_id, term, tf FROM title_tf
+  ) GROUP BY doc_id, term
+),
+dl2 AS (SELECT doc_id, doc_len + 2 AS doc_len FROM dl)
+SELECT a.doc_id, a.term, round(a.tf, 6) AS tf,
+       round(a.tf / d.doc_len, 6) AS tf_norm
+FROM all_tf a JOIN dl2 d USING (doc_id)
+"""
+
+
 def q_suggest_prefix(spark, sf_dir):
     from search_engine_spark.operators.suggestions import prefix_suggest
 
@@ -1195,6 +1312,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "bm25_topk": q_bm25_topk,
+    "bm25_codec_topk": q_bm25_codec_topk,
+    "resumable_topk": q_resumable_topk,
+    "sectioned_postings": q_sectioned_postings,
     "wand_topk": q_wand_topk,
     "bool_and": q_bool_and,
     "bool_or": q_bool_or,
@@ -1245,6 +1365,9 @@ ORACLE_SQL: dict[str, str] = {
     "term_stats": SQL_TERM_STATS,
     "doc_lengths": SQL_DOC_LENGTHS,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_codec_topk": SQL_BM25_CODEC_TOPK,
+    "resumable_topk": SQL_RESUMABLE_TOPK,
+    "sectioned_postings": SQL_SECTIONED_POSTINGS,
     "wand_topk": SQL_WAND_TOPK,
     "bool_and": SQL_BOOL_AND,
     "bool_or": SQL_BOOL_OR,
