@@ -779,15 +779,24 @@ SELECT doc_id, {case_expr} AS pred_lang, {greatest} AS hits FROM hits
 SQL_LANGID = _sql_langid()
 
 
+def _r6(c) -> F.Column:
+    """HALF_UP-at-6-digits as explicit float ops (floor(x·1e6 + 0.5)):
+    Spark's round() is HALF_UP, DuckDB's is half-even, and the quality
+    score's decimal-friendly formula can land EXACTLY on a midpoint
+    (0.5103125 did at sf0.1) — same float expression on both sides
+    removes the rounding-mode dependence."""
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
 def q_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
     return quality_score(_docs(spark, sf_dir)).select(
         "doc_id",
         "n_tokens",
-        F.round("uniq_ratio", 6).alias("uniq_ratio"),
-        F.round("mean_token_len", 6).alias("mean_token_len"),
-        F.round("score", 6).alias("score"),
+        _r6(F.col("uniq_ratio")).alias("uniq_ratio"),
+        _r6(F.col("mean_token_len")).alias("mean_token_len"),
+        _r6(F.col("score")).alias("score"),
     )
 
 
@@ -801,12 +810,12 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, n::BIGINT AS n_tokens,
-       round(CASE WHEN n > 0 THEN u / n ELSE 0.0 END, 6) AS uniq_ratio,
-       round(CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END, 6) AS mean_token_len,
-       round(0.5 * least(n / 100.0, 1.0)
+       floor((CASE WHEN n > 0 THEN u / n ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
+       floor((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mean_token_len,
+       floor((0.5 * least(n / 100.0, 1.0)
              + 0.3 * (CASE WHEN n > 0 THEN u / n ELSE 0.0 END)
-             + 0.2 * least((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) / 8.0, 1.0),
-             6) AS score
+             + 0.2 * least((CASE WHEN n > 0 THEN total_len / n ELSE 0.0 END) / 8.0, 1.0))
+             * 1e6 + 0.5) / 1e6 AS score
 FROM q
 """
 

@@ -214,6 +214,10 @@ def minhash_lsh_pairs(
     lookups. The per-doc set table is persisted (at 100 TB: a written
     intermediate, same shape)."""
     sets = doc_shingle_sets(df, text_col, id_col, n).persist()
+    # eager fill: the signature pass and BOTH verify lookups read `sets`
+    # inside one job — a lazy persist lets those branches race to compute
+    # the shingle arrays concurrently instead of sharing one cached copy
+    sets.count()
     sigs = _minhash_from_sets(sets, num_hashes)
     # stack the K signatures into (band, value, doc_id) rows, bucket-join
     stacked = sigs.select(
