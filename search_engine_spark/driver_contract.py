@@ -1149,6 +1149,40 @@ FROM m
 """
 
 
+def q_sample_frames(spark, sf_dir):
+    """Multimodal frame sampling over the synthetic binary payload —
+    byte-exact oracle: frames emitted as hex so DuckDB (whose substr is
+    VARCHAR-only) slices the hexed payload instead of the blob."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
+SQL_SAMPLE_FRAMES = """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+         WHEN doc_id % 3 = 1 THEN '\\x89PNG\\x0D\\x0A'::BLOB
+         ELSE 'RIFF\\x00\\x00'::BLOB END
+      || encode(substr(repeat(sha256(CAST(doc_id AS VARCHAR)), 9), 1, 256))
+      AS media
+  FROM documents
+),
+f AS (
+  SELECT doc_id, hex(media) AS h, octet_length(media) // 4 AS step FROM m
+)
+SELECT doc_id, fi AS frame_idx,
+       substr(h, fi * step * 2 + 1, step * 2) AS frame_hex
+FROM f, (SELECT unnest(range(4)) AS fi)
+"""
+
+
 def q_snippets(spark, sf_dir):
     """Result-snippet generation (reference BackendManager.java:121-276)
     as pure column algebra — first-hit window + query-word highlight."""
@@ -1362,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "sample_frames": q_sample_frames,
     "snippets": q_snippets,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_dup_lsh": q_embed_dup_lsh,
@@ -1410,6 +1445,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_recent": SQL_EVENTS_RECENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "media_stats": SQL_MEDIA_STATS,
+    "sample_frames": SQL_SAMPLE_FRAMES,
     "snippets": SQL_SNIPPETS,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
     "url_normalize": SQL_URL_NORMALIZE,
