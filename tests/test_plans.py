@@ -77,3 +77,36 @@ def test_build_has_single_wide_exchange_over_tokens(spark, corpus_df):
     # UDFs touch Python (tokenize + codec), never applyInPandas
     assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("ArrowEvalPython") == 2
+
+
+def test_wand_plan_reads_codec_not_arrays(saved_index):
+    """WAND must consume the codec binaries + block metadata and NEVER
+    the decoded posting arrays — the property that makes it the
+    store_arrays=False at-scale path."""
+    from search_engine_spark.operators.wand import search_wand
+
+    plan = _plan(search_wand(saved_index, "banana recipe", k=10))
+    # pushed term filter reaches the scan
+    assert "PushedFilters: [In(term" in plan
+    # codec columns read, decoded arrays NOT read
+    assert "doc_ids_enc" in plan and "bm25_tf_enc" in plan
+    assert "postings:" not in plan.split("ReadSchema")[-1]
+    # per-shard WAND is one applyInPandas group stage
+    assert "FlatMapGroupsInPandas" in plan
+    # global top-k never materializes a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wand_pr_plan_cogroups_on_shard(saved_index, spark, corpus_df):
+    """The PageRank mix rides into shards via a shard-keyed cogroup —
+    no doc-level join appears in the plan."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.wand import search_wand
+
+    pr = corpus_df.select(
+        "doc_id", (F.col("doc_id") % 10 / 10.0).alias("page_rank")
+    )
+    plan = _plan(search_wand(saved_index, "banana recipe", k=10, page_rank=pr))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -174,3 +174,67 @@ def test_sectioned_index_build_end_to_end(spark):
     assert abs(got[("banana", 0)][1] - 6.0 / 5.0) < 1e-12
     # doc 1: banana content-only
     assert abs(got[("banana", 1)][0] - 1.0) < 1e-12
+
+
+def test_sectioned_tokenizer_property_vs_oracle(spark):
+    """Property-based: random section structures (hypothesis) through the
+    Spark UDF must match the independent pure-Python transcription."""
+    from hypothesis import given, settings, strategies as st
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.tokenize import tokenize_docs_sectioned
+    from search_engine_spark.oracle import oracle_tokenize_sections
+
+    cfg = EngineConfig()
+    word = st.sampled_from(
+        ["banana", "recipe", "the", "a", "haves", "Doing", "x1y",
+         "zz", "cooking", "storage", "it's", "UPPER"]
+    )
+    text = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    docs = st.lists(
+        st.tuples(
+            st.one_of(st.none(), text),                       # title
+            st.lists(text, min_size=0, max_size=3),           # h2 elements
+            st.lists(text, min_size=0, max_size=4),           # content
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs)
+    def check(rows):
+        data = [
+            (i, t, hs, cs) for i, (t, hs, cs) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data,
+            "doc_id: long, title: string, h2s: array<string>, "
+            "content: array<string>",
+        )
+        got = {
+            r.doc_id: r
+            for r in tokenize_docs_sectioned(
+                df,
+                [("title", "title"), ("h2s", "h2"), ("content", "content")],
+                cfg=cfg,
+            ).collect()
+        }
+        for i, (t, hs, cs) in enumerate(rows):
+            elements = []
+            if t is not None:
+                elements.append(("title", t))
+            elements += [("h2", h) for h in hs]
+            elements += [("content", c) for c in cs]
+            want_acc, want_total = oracle_tokenize_sections(elements, cfg)
+            r = got[i]
+            assert r.n_tokens == want_total
+            by_term = {tk["term"]: tk for tk in r.tokens}
+            assert set(by_term) == set(want_acc)
+            for term, w in want_acc.items():
+                tk = by_term[term]
+                assert abs(tk["tf"] - w["count"]) < 1e-12
+                assert tk["top_section"] == w["top_section"]
+                assert sorted(tk["positions"]) == sorted(w["positions"])
+
+    check()
