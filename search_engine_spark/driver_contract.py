@@ -370,6 +370,27 @@ LIMIT 5
 """
 
 
+def q_suggest_trie(spark, sf_dir):
+    """U2 trie top-k (ref Trie.java:15-72): per-node top-10 by frequency
+    (here df), tie-break word ASC — materialized trie answer vs a SQL
+    window over the same vocabulary."""
+    from search_engine_spark.operators.suggestions import trie_from_terms
+
+    idx = get_index(spark, sf_dir)
+    words = trie_from_terms(idx.term_stats).suggest("s")
+    return spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "term string, rank int"
+    )
+
+
+SQL_SUGGEST_TRIE = TOK_CTE + """
+SELECT term,
+       (row_number() OVER (ORDER BY df DESC, term) - 1)::INT AS rank
+FROM ts WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10
+"""
+
+
 def q_top_terms(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     tot = (
@@ -1371,6 +1392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_metadata": q_doc_metadata,
     "extract_links": q_extract_links,
     "suggest_prefix": q_suggest_prefix,
+    "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1425,6 +1447,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_metadata": SQL_DOC_METADATA,
     "extract_links": SQL_EXTRACT_LINKS,
     "suggest_prefix": SQL_SUGGEST_PREFIX,
+    "suggest_trie": SQL_SUGGEST_TRIE,
     "top_terms": SQL_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

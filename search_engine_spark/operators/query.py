@@ -260,19 +260,41 @@ def score_matches(
     mode: str = "bm25",
     page_rank: DataFrame | None = None,
     stems: list[str] | None = None,
+    idf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """R1-R4: per-doc relevance Σ idf·w(tf) + 0.7/0.3 PageRank mix.
 
-    term_stats is filtered to the handful of query terms and broadcast —
-    the groupBy(doc_id) partial-aggregates map-side before the exchange.
-    When the caller knows the stems (always true inside ``search``), the
-    filter is a driver-side ``isin`` — one broadcast exchange, no
-    semi-join sub-plan against the matches."""
-    if stems:
-        idf = F.broadcast(
-            index.term_stats.filter(
+    IDF attachment, fastest to slowest path:
+      * ``idf_map`` given (or ``stems`` known → one tiny driver lookup
+        on the persisted term_stats, the reference's IN-probe): idf is a
+        LITERAL map expression — zero joins, zero broadcast exchange in
+        the scoring job. This mirrors the reference's denormalized-IDF
+        design (IDF rides next to the posting, SQLiteSearcher.java).
+      * fallback: broadcast semi-join against term_stats (used when the
+        caller hands a matches frame with unknown terms).
+    A term absent from term_stats has no postings either, so the literal
+    map and the inner join keep exactly the same rows."""
+    if idf_map is None and stems:
+        idf_map = {
+            r["term"]: float(r["idf"])
+            for r in index.term_stats.filter(
                 F.col("term").isin(list(stems))
-            ).select("term", "idf")
+            ).collect()
+        }
+    if idf_map is not None:
+        if idf_map:
+            mapping = F.create_map(
+                *[
+                    x
+                    for t, v in sorted(idf_map.items())
+                    for x in (F.lit(t), F.lit(v))
+                ]
+            )
+            idf_col = mapping[F.col("term")]
+        else:
+            idf_col = F.lit(None).cast("double")
+        weighted = matches.withColumn("idf", idf_col).where(
+            F.col("idf").isNotNull()
         )
     else:
         idf = F.broadcast(
@@ -280,7 +302,7 @@ def score_matches(
                 matches.select("term").distinct(), "term", "left_semi"
             )
         )
-    weighted = matches.join(idf, "term")
+        weighted = matches.join(idf, "term")
     rel_term = (
         F.col("idf") * F.col("bm25_tf")
         if mode == "bm25"
@@ -313,6 +335,7 @@ def search(
     mode: str = "bm25",
     page_rank: DataFrame | None = None,
     base: DataFrame | None = None,
+    idf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Full reference-semantics search: returns the top-k
     (doc_id, rel, page_rank, score) with the Q6 deterministic tie-break."""
@@ -324,6 +347,7 @@ def search(
         mode=mode,
         page_rank=page_rank,
         stems=query_terms_needed(index, query),
+        idf_map=idf_map,
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -391,11 +415,19 @@ def search_many(
         # the shared scan (lazy persist let every branch kick it off)
         base = base.persist()
         base.count()
+    # one idf lookup for the whole batch (not one per query)
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in index.term_stats.filter(
+            F.col("term").isin(all_stems)
+        ).collect()
+    } if all_stems else {}
     parts = []
     for q in queries:
         parts.append(
             search(
-                index, q, k=k, mode=mode, page_rank=page_rank, base=base
+                index, q, k=k, mode=mode, page_rank=page_rank, base=base,
+                idf_map=idf_map,
             ).withColumn("query", F.lit(q))
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
