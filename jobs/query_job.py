@@ -3,12 +3,14 @@
 
     spark-submit --py-files "$ZIP" jobs/query_job.py \\
         --index /path/to/index --query "hash join window" \\
-        [--k 10] [--wand] [--mode bm25|tfidf]
+        [--k 10] [--wand] [--batch] [--mode bm25|tfidf]
 
 Prints one JSON line per query: {"query": ..., "results": [[doc_id,
 score], ...], "sec": ...}. --wand uses the block-max WAND path
 (rank-identical for plain disjunctive queries; boolean/phrase queries
-automatically use the exhaustive path).
+automatically use the exhaustive path). --batch evaluates ALL --query
+flags through the shared-scan batch evaluator (one posting scan + one
+Spark job for the whole set — the reference-query-set shape at scale).
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ def main() -> None:
     ap.add_argument("--query", action="append", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--batch", action="store_true")
     ap.add_argument("--mode", default="bm25", choices=["bm25", "tfidf"])
     # analyzer overrides are OPT-IN: by default the index's own
     # build-time config (persisted in its metadata) drives the query
@@ -51,6 +54,31 @@ def main() -> None:
     idx = Index.load(spark, args.index, cfg=cfg)
     idx.postings = idx.postings.persist()
     idx.term_stats = idx.term_stats.persist()
+
+    if args.batch:
+        from search_engine_spark.operators.query import search_many
+
+        t0 = time.perf_counter()
+        rows = search_many(idx, args.query, k=args.k, mode=args.mode).collect()
+        sec = round(time.perf_counter() - t0, 4)
+        by_q: dict[str, list] = {q: [] for q in args.query}
+        for r in rows:
+            by_q[r["query"]].append(
+                [int(r["doc_id"]), round(float(r["score"]), 6)]
+            )
+        for q in args.query:
+            print(
+                json.dumps(
+                    {
+                        "query": q,
+                        "results": by_q[q],
+                        "sec": sec,
+                        "path": "batch",
+                    }
+                )
+            )
+        spark.stop()
+        return
 
     for q in args.query:
         t0 = time.perf_counter()

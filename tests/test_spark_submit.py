@@ -84,6 +84,26 @@ def test_build_then_query_via_spark_submit(corpus_path, tmp_path):
         scores = [s for _, s in res["results"]]
         assert scores == sorted(scores, reverse=True)
 
+    # --batch: shared-scan evaluation, value-identical per query
+    stdout = _submit(
+        "query_job.py",
+        "--index", out,
+        "--query", "banana recipe",
+        "--query", "hash join",
+        "--k", "5",
+        "--batch",
+        "--no-stem", "--no-stopwords",
+    )
+    blines = [json.loads(l) for l in stdout.splitlines() if l.startswith("{")]
+    assert len(blines) == 2
+    assert all(res["path"] == "batch" for res in blines)
+    wand_by_q = {res["query"]: res["results"] for res in lines}
+    for res in blines:
+        w = wand_by_q[res["query"]]
+        assert [d for d, _ in res["results"]] == [d for d, _ in w]
+        for (_, bs), (_, ws) in zip(res["results"], w):
+            assert abs(bs - ws) < 1e-5  # float-sum-order jitter only
+
 
 def test_stream_ingest_via_spark_submit(corpus_path, tmp_path):
     out = str(tmp_path / "sidx")
