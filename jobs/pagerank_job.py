@@ -59,7 +59,14 @@ def main() -> None:
     if args.edges:
         edges = spark.read.parquet(args.edges).select("src", "dst")
     elif args.links:
-        edges = edges_from_links(spark.read.parquet(args.links), docs)
+        from pyspark.sql import functions as F
+
+        # edges_from_links resolves against (id, url); the corpus table
+        # carries doc_id
+        resolv = docs.select(
+            F.col("doc_id").alias("id"), F.col("url").alias("url")
+        )
+        edges = edges_from_links(spark.read.parquet(args.links), resolv)
     else:
         edges = repo_link_graph(docs)
     n_edges = edges.count()

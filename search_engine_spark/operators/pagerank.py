@@ -217,12 +217,22 @@ def write_back_pagerank(
     keep/get 0.0 — the reference's column default).
 
     Parquet has no in-place UPDATE, so the merge is a staged rewrite with
-    an atomic directory swap (write to ``<path>.staging``, rename over) —
-    on Iceberg this whole function is one ``MERGE INTO`` snapshot commit,
-    and the staging dance disappears. Returns the number of docs that
-    received a nonzero rank."""
+    a directory swap (write to ``<path>.staging``, rename the live dir to
+    ``<path>.old``, rename staging in, drop old). The two renames are NOT
+    one atomic operation: a crash between them leaves the table at
+    ``<path>.old`` — which this function self-heals on the next call (and
+    requires a driver-local POSIX path; on object stores / HDFS use the
+    Iceberg form, where this whole function is one ``MERGE INTO``
+    snapshot commit and the staging dance disappears). Returns the number
+    of docs that received a nonzero rank."""
     import os
     import shutil
+
+    old = docs_path.rstrip("/") + ".old"
+    if not os.path.exists(docs_path) and os.path.exists(old):
+        # crash window between the two renames on a previous run: the
+        # pre-merge table is intact at .old — restore it and redo
+        os.rename(old, docs_path)
 
     docs = spark.read.parquet(docs_path)
     pr = pagerank(edges, docs.select(F.col(id_col).alias("doc_id")), cfg=cfg)
@@ -238,7 +248,6 @@ def write_back_pagerank(
     n_ranked = (
         spark.read.parquet(staging).where(F.col("page_rank") > 0.0).count()
     )
-    old = docs_path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(docs_path, old)

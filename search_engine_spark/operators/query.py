@@ -254,6 +254,18 @@ def query_terms_needed(index: Index, query: str) -> list[str]:
     return stems
 
 
+def _idf_map(index: Index, stems: list[str]) -> dict[str, float]:
+    """Driver-side idf lookup for a known stem set — one tiny job on the
+    (persisted, small) term_stats table; terms absent from the index are
+    simply absent from the map."""
+    return {
+        r["term"]: float(r["idf"])
+        for r in index.term_stats.filter(
+            F.col("term").isin(list(stems))
+        ).collect()
+    }
+
+
 def score_matches(
     index: Index,
     matches: DataFrame,
@@ -275,12 +287,7 @@ def score_matches(
     A term absent from term_stats has no postings either, so the literal
     map and the inner join keep exactly the same rows."""
     if idf_map is None and stems:
-        idf_map = {
-            r["term"]: float(r["idf"])
-            for r in index.term_stats.filter(
-                F.col("term").isin(list(stems))
-            ).collect()
-        }
+        idf_map = _idf_map(index, stems)
     if idf_map is not None:
         if idf_map:
             mapping = F.create_map(
@@ -374,17 +381,25 @@ def search_paged(
         stems=query_terms_needed(index, query),
     )
     scored = scored.persist()
-    total = scored.count()
-    start = page * size
-    if start >= total:
-        out = scored.limit(0)
-    else:
-        out = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .offset(start)
-            .limit(size)
-        )
-    return out, total
+    try:
+        total = scored.count()
+        start = page * size
+        if start >= total:
+            rows, schema = [], scored.schema
+        else:
+            page_df = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .offset(start)
+                .limit(size)
+            )
+            rows, schema = page_df.collect(), page_df.schema
+    finally:
+        # the page is <= size rows — materialize it and release the
+        # cached candidate set (a per-request persist would otherwise
+        # leak for the session's lifetime)
+        scored.unpersist()
+    spark = index.postings.sparkSession
+    return spark.createDataFrame(rows, schema), total
 
 
 def search_many(
@@ -401,36 +416,49 @@ def search_many(
     decode + explode — is done ONCE for the union of all queries' stems
     (one ``term.isin(...)`` pushed scan, persisted), and each per-query
     plan filters that shared base. The per-query combine/score stages
-    then run over candidate-set-sized data only, and the union collapses
-    the batch into a single Spark job at collect time. Round-1 shape was
-    N independent plans = N full scans."""
+    then run over candidate-set-sized data only, and the union runs as
+    one Spark job. Evaluation is EAGER (the result is <= k rows per
+    query) so the shared scan's cache is released before returning —
+    round-1 shape was N independent plans = N full scans."""
+    spark = index.postings.sparkSession
+    result_schema = (
+        "query string, doc_id long, rel double, "
+        "page_rank double, score double"
+    )
+    if not queries:
+        return spark.createDataFrame([], result_schema)
     all_stems: list[str] = []
     for q in queries:
         all_stems.extend(query_terms_needed(index, q))
     all_stems = list(dict.fromkeys(all_stems))
     base = term_matches(index, all_stems)
-    if len(queries) > 1 and all_stems:
+    persisted = len(queries) > 1 and bool(all_stems)
+    if persisted:
         # eager materialization: one small job fills the cache before the
         # union plan runs, so concurrent branches never race to compute
         # the shared scan (lazy persist let every branch kick it off)
         base = base.persist()
         base.count()
-    # one idf lookup for the whole batch (not one per query)
-    idf_map = {
-        r["term"]: float(r["idf"])
-        for r in index.term_stats.filter(
-            F.col("term").isin(all_stems)
-        ).collect()
-    } if all_stems else {}
-    parts = []
-    for q in queries:
-        parts.append(
-            search(
-                index, q, k=k, mode=mode, page_rank=page_rank, base=base,
-                idf_map=idf_map,
-            ).withColumn("query", F.lit(q))
+    try:
+        # one idf lookup for the whole batch (not one per query)
+        idf_map = _idf_map(index, all_stems) if all_stems else {}
+        parts = []
+        for q in queries:
+            parts.append(
+                search(
+                    index, q, k=k, mode=mode, page_rank=page_rank,
+                    base=base, idf_map=idf_map,
+                ).withColumn("query", F.lit(q))
+            )
+        union = reduce(lambda a, b: a.unionByName(b), parts)
+        union = union.select(
+            "query", "doc_id", "rel", "page_rank", "score"
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        rows = union.collect()
+    finally:
+        if persisted:
+            base.unpersist()
+    return spark.createDataFrame(rows, result_schema)
 
 
 class QueryCache:

@@ -119,10 +119,23 @@ def lsh_assign_buckets(
 
     @pandas_udf(T.LongType())
     def signature(vecs: pd.Series) -> pd.Series:
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vecs]
-        ).reshape(len(vecs), dim)
-        return pd.Series(_signature_bits(mat, planes))
+        # NULL/ragged rows get bucket 0 (the pre-Arrow column-expression
+        # path's behavior: NULL comparisons fell to the 0 branch) instead
+        # of crashing the task on a ragged reshape
+        out = np.zeros(len(vecs), dtype=np.int64)
+        valid_idx, valid_rows = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if arr.shape == (dim,):
+                valid_idx.append(i)
+                valid_rows.append(arr)
+        if valid_rows:
+            out[valid_idx] = _signature_bits(
+                np.stack(valid_rows), planes
+            )
+        return pd.Series(out)
 
     out = embeddings.withColumn("bucket", signature(F.col(vec_col)))
     if id_col != "vec_id":

@@ -214,12 +214,9 @@ def search_wand(
 
     # idf of the query stems: tiny driver-side lookup (metadata access,
     # same role as the reference's IN-probe on term_stats)
-    idf_rows = (
-        index.term_stats.filter(F.col("term").isin(stems))
-        .select("term", "idf")
-        .collect()
-    )
-    idf_map = {r["term"]: float(r["idf"]) for r in idf_rows}
+    from search_engine_spark.operators.query import _idf_map
+
+    idf_map = _idf_map(index, stems)
     stems = [s for s in stems if s in idf_map]
     if not stems:
         return spark.createDataFrame([], empty_schema)
@@ -265,13 +262,21 @@ def search_wand(
     else:
         # PageRank rows cogroup on the SAME aligned shard key the posting
         # layout uses (doc_id // docs_per_shard) — no doc-level join, no
-        # extra shuffle shape beyond the two co-keyed exchanges.
-        pr_sharded = page_rank.select(
-            F.floor(
-                F.col("doc_id") / F.lit(cfg.docs_per_shard)
-            ).cast("long").alias("shard"),
-            "doc_id",
-            F.col("page_rank").cast("double").alias("page_rank"),
+        # extra shuffle shape beyond the two co-keyed exchanges. The pr
+        # table is pruned map-side to the shards the query's postings
+        # actually touch (broadcast semi-join on the tiny distinct-shard
+        # set) — otherwise every query would shuffle one pr row per
+        # corpus doc through the cogroup.
+        touched = F.broadcast(shard_rows.select("shard").distinct())
+        pr_sharded = (
+            page_rank.select(
+                F.floor(
+                    F.col("doc_id") / F.lit(cfg.docs_per_shard)
+                ).cast("long").alias("shard"),
+                "doc_id",
+                F.col("page_rank").cast("double").alias("page_rank"),
+            )
+            .join(touched, "shard", "left_semi")
         )
 
         def wand_shard_pr(

@@ -231,3 +231,22 @@ def test_kmeans_init_no_global_window(spark, emb):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_lsh_null_embedding_bucket_zero(spark):
+    """NULL / wrong-dim embedding rows must land in bucket 0 (the old
+    column-expression behavior), not crash the Arrow UDF task."""
+    from search_engine_spark.operators.similarity import lsh_assign_buckets
+
+    rows = [
+        (0, [1.0] * 4),
+        (1, None),
+        (2, [0.5, -0.5, 0.25, -0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {
+        r.vec_id: r.bucket
+        for r in lsh_assign_buckets(df, dim=4, n_planes=4).collect()
+    }
+    assert got[1] == 0
+    assert 0 <= got[0] < 16 and 0 <= got[2] < 16
