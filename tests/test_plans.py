@@ -109,4 +109,9 @@ def test_wand_pr_plan_cogroups_on_shard(saved_index, spark, corpus_df):
     )
     plan = _plan(search_wand(saved_index, "banana recipe", k=10, page_rank=pr))
     assert "FlatMapCoGroupsInPandas" in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the only join allowed is the map-side shard-prune of the pr table
+    # (broadcast LEFT-SEMI on the tiny touched-shard set); never a
+    # doc-level or shuffle join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "LeftSemi" in plan
