@@ -166,6 +166,32 @@ FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """R2's OTHER scoring mode — the reference's original ranking
+    formula (normalized weighted tf × log10 idf, Ranker.java) rather
+    than BM25."""
+    from search_engine_spark.operators.query import search
+
+    idx = get_index(spark, sf_dir)
+    return search(idx, " ".join(BM25_TERMS), k=10, mode="tfidf").select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_TFIDF_TOPK = TOK_CTE + f""",
+scored AS (
+  SELECT tf.doc_id,
+         sum((tf.tf / dl.doc_len) * ts.idf) AS rel
+  FROM tf JOIN ts USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+    AND dl.doc_len > 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round({W_REL} * rel, 6) AS score
+FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_wand_topk(spark, sf_dir):
     """Block-max WAND path: must be value-identical to bm25_topk (same
     oracle SQL) — the driver check doubles as the WAND exactness gate."""
@@ -1376,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
     "bm25_codec_topk": q_bm25_codec_topk,
     "resumable_topk": q_resumable_topk,
     "sectioned_postings": q_sectioned_postings,
@@ -1431,6 +1458,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_stats": SQL_TERM_STATS,
     "doc_lengths": SQL_DOC_LENGTHS,
     "bm25_topk": SQL_BM25_TOPK,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_codec_topk": SQL_BM25_CODEC_TOPK,
     "resumable_topk": SQL_RESUMABLE_TOPK,
     "sectioned_postings": SQL_SECTIONED_POSTINGS,
