@@ -112,3 +112,33 @@ def test_fingerprint_invalidation(spark, corpus, tmp_path):
         shards_per_batch=2,
     )
     assert len(b3.pending()) == len(b3.plan())
+
+
+def test_store_arrays_change_invalidates_batches(spark, corpus_df, tmp_path):
+    """Config-hash regression (round-1 advice): raw batches written under
+    one store_arrays profile must NOT be reused by a resume under the
+    other — a silent reuse left postings null and queries empty."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_checkpoint import (
+        ResumableIndexBuild,
+    )
+
+    out = str(tmp_path / "idx")
+    cfg_a = EngineConfig(docs_per_shard=64, store_arrays=True)
+    b1 = ResumableIndexBuild(corpus_df, out, cfg=cfg_a)
+    b1.run()
+    assert b1.pending() == []
+
+    # same layout knobs, flipped storage profile -> every batch pending
+    cfg_b = EngineConfig(docs_per_shard=64, store_arrays=False)
+    b2 = ResumableIndexBuild(corpus_df, out, cfg=cfg_b)
+    assert len(b2.pending()) == len(b2.plan())
+
+    # and after the rebuild the codec-only index actually answers queries
+    from search_engine_spark.operators.index_build import Index
+    from search_engine_spark.operators.query import search
+
+    b2.run()
+    idx = Index.load(spark, out)
+    assert idx.cfg.store_arrays is False
+    assert search(idx, "banana recipe", k=5).count() > 0
