@@ -882,6 +882,31 @@ FROM documents
 """
 
 
+SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling (training-data
+    mixture control): per-language keep fractions, absent strata
+    dropped; the md5-bucket arithmetic is reproduced verbatim in SQL."""
+    from search_engine_spark.operators.textstats import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACS).select(
+        "doc_id", "lang"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    arms = " OR ".join(
+        f"(lang = '{s}' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < {int(f * 10000)})"
+        for s, f in sorted(SAMPLE_FRACS.items())
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {arms}"
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 def q_fingerprint(spark, sf_dir):
     from search_engine_spark.operators.textstats import fingerprint_md5
 
@@ -1431,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "stratified_sample": q_stratified_sample,
     "events_recent": q_events_recent,
     "pricing_summary": q_pricing_summary,
     "pagerank_fixed": q_pagerank_fixed,
@@ -1493,6 +1519,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
     "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_recent": SQL_EVENTS_RECENT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "media_stats": SQL_MEDIA_STATS,

@@ -151,3 +151,44 @@ def fingerprint_rolling(
     return df.select(
         F.col(id_col).alias("doc_id"), roll(F.col(text_col)).alias("fp")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling — training-data mixture control
+# --------------------------------------------------------------------------
+
+SAMPLE_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column) -> Column:
+    """Stable per-row bucket in [0, SAMPLE_BUCKETS): first 8 hex chars of
+    md5(id) as an integer — identical arithmetic is expressible in any
+    engine (the DuckDB oracle reproduces it), unlike RNG-based
+    ``DataFrame.sample``/``sampleBy`` whose draws are engine-private."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_BUCKETS
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row of stratum ``s`` iff its hash bucket falls below
+    ``fractions[s] * SAMPLE_BUCKETS`` — deterministic mixture control
+    (e.g. downsample boilerplate languages when assembling a training
+    mix). Strata absent from ``fractions`` are DROPPED (explicit
+    allowlist). Narrow (no shuffle, no RNG state); resolution is
+    1/SAMPLE_BUCKETS of a stratum."""
+    bucket = _hash_bucket(F.col(id_col))
+    keep = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        keep = keep | (
+            (F.col(strat_col) == stratum)
+            & (bucket < int(frac * SAMPLE_BUCKETS))
+        )
+    return df.where(keep)

@@ -79,3 +79,24 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_stratified_sample_fractions(spark):
+    """Observed per-stratum keep rates track the requested fractions and
+    repeated runs are identical (hash-based, no RNG)."""
+    from search_engine_spark.operators.textstats import stratified_sample
+
+    rows = [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    fr = {"en": 0.5, "de": 0.1, "fr": 1.0}
+    out = stratified_sample(df, fr).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert "zh" not in got                       # absent stratum dropped
+    assert got["fr"] == 1000                     # fraction 1.0 keeps all
+    assert abs(got["en"] / 1000 - 0.5) < 0.05    # ~hash-uniform
+    assert abs(got["de"] / 1000 - 0.1) < 0.04
+    again = {
+        r["lang"]: r["count"]
+        for r in stratified_sample(df, fr).groupBy("lang").count().collect()
+    }
+    assert again == got                          # deterministic
