@@ -293,11 +293,16 @@ def q_bm25_codec_topk(spark, sf_dir):
 SQL_BM25_CODEC_TOPK = SQL_BM25_TOPK
 
 
-def q_resumable_topk(spark, sf_dir):
-    """Same BM25 top-k, but the index comes from the RESUMABLE builder
-    (batch manifests + finalize-from-raw compaction) — run twice with a
-    crash boundary (max_batches=1, then completion), so the driver
-    hash-check pins checkpoint-resume == one-shot == SQL."""
+_RESUMABLE_CACHE: dict[str, object] = {}
+
+
+def _resumable_index(spark, sf_dir):
+    """Build (once per sf_dir, memoized) an index via the RESUMABLE
+    builder — batch manifests + finalize-from-raw compaction — run twice
+    with a crash boundary (max_batches=1, then completion). The temp dir
+    lives until process exit so the lazy postings scan stays valid and
+    both the plain and WAND gate entries share one build."""
+    import atexit
     import shutil
     import tempfile
 
@@ -305,27 +310,48 @@ def q_resumable_topk(spark, sf_dir):
     from search_engine_spark.operators.index_checkpoint import (
         ResumableIndexBuild,
     )
+
+    if sf_dir in _RESUMABLE_CACHE:
+        return _RESUMABLE_CACHE[sf_dir]
+    work = tempfile.mkdtemp(prefix="se_resume_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    cfg = EngineConfig(
+        stem=False, remove_stopwords=False, docs_per_shard=128
+    )
+    docs = _docs(spark, sf_dir)
+    b = ResumableIndexBuild(
+        docs, work, cfg=cfg, text_col="text", shards_per_batch=2
+    )
+    b.run(max_batches=1)   # simulate a crash after one batch
+    b.run()                # resume: remaining batches + finalize
+    idx = Index.load(spark, work)
+    idx.postings = idx.postings.persist()
+    _RESUMABLE_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_resumable_topk(spark, sf_dir):
+    """BM25 top-k over the resumable-builder index: the driver
+    hash-check pins checkpoint-resume == one-shot == SQL."""
     from search_engine_spark.operators.query import search
 
-    work = tempfile.mkdtemp(prefix="se_resume_gate_")
-    try:
-        cfg = EngineConfig(
-            stem=False, remove_stopwords=False, docs_per_shard=128
-        )
-        docs = _docs(spark, sf_dir)
-        b = ResumableIndexBuild(
-            docs, work, cfg=cfg, text_col="text", shards_per_batch=2
-        )
-        b.run(max_batches=1)   # simulate a crash after one batch
-        b.run()                # resume: remaining batches + finalize
-        idx = Index.load(spark, work)
-        idx.postings = idx.postings.persist()
-        out = search(idx, " ".join(BM25_TERMS), k=10).select(
-            "doc_id", F.round("score", 5).alias("score")
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    idx = _resumable_index(spark, sf_dir)
+    return search(idx, " ".join(BM25_TERMS), k=10).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+def q_resumable_wand_topk(spark, sf_dir):
+    """Block-max WAND over the RESUMABLE-builder index: pins that the
+    finalize_from_raw float32-roundtripped block_max/max_bm25_tf bounds
+    (index_checkpoint.attach_bm25) keep WAND exact on a
+    checkpoint-resumed index, same oracle as bm25_topk."""
+    from search_engine_spark.operators.wand import search_wand
+
+    idx = _resumable_index(spark, sf_dir)
+    return search_wand(idx, " ".join(BM25_TERMS), k=10).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
 
 
 SQL_RESUMABLE_TOPK = SQL_BM25_TOPK
@@ -1430,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_codec_topk": q_bm25_codec_topk,
     "resumable_topk": q_resumable_topk,
+    "resumable_wand_topk": q_resumable_wand_topk,
     "sectioned_postings": q_sectioned_postings,
     "wand_topk": q_wand_topk,
     "bool_and": q_bool_and,
@@ -1461,22 +1488,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_fixed_dist": q_pagerank_fixed_dist,
-    # rows-only:
-    "pagerank_top": q_pagerank_top,
-    "lsh_ann": q_lsh_ann,
     "lsh_ann_exact": q_lsh_ann_exact,
-    "ivf_ann": q_ivf_ann,
     "ivf_ann_exact": q_ivf_ann_exact,
     "embed_dup_lsh_exact": q_embed_dup_lsh_exact,
     "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
-    "media_features": q_media_features,
     "sample_frames": q_sample_frames,
     "snippets": q_snippets,
     "embed_dup_pairs": q_embed_dup_pairs,
-    "embed_dup_lsh": q_embed_dup_lsh,
     "url_normalize": q_url_normalize,
     "streaming_topk": q_streaming_topk,
+    # rows-only (no oracle SQL) — kept at the dict tail so the driver
+    # gate's 50-entry cap records every oracle-checked entry first
+    # (VERDICT r02: url_normalize/streaming_topk fell off the gate).
+    "pagerank_top": q_pagerank_top,
+    "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
+    "media_features": q_media_features,
+    "embed_dup_lsh": q_embed_dup_lsh,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1487,6 +1516,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_codec_topk": SQL_BM25_CODEC_TOPK,
     "resumable_topk": SQL_RESUMABLE_TOPK,
+    "resumable_wand_topk": SQL_RESUMABLE_TOPK,
     "sectioned_postings": SQL_SECTIONED_POSTINGS,
     "wand_topk": SQL_WAND_TOPK,
     "bool_and": SQL_BOOL_AND,

@@ -241,7 +241,6 @@ def merge_postings(per_term: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.size("postings").cast("long").alias("n_postings"),
         F.element_at(F.col("postings.doc_id"), 1).alias("min_doc_id"),
         F.element_at(F.col("postings.doc_id"), -1).alias("max_doc_id"),
-        F.array_max(F.col("postings.bm25_tf")).alias("max_bm25_tf"),
         arrays_col.alias("postings"),
         F.col("postings.doc_id").alias("_ids"),
         F.col("postings.tf").alias("_tfs"),
@@ -255,7 +254,11 @@ def merge_postings(per_term: DataFrame, cfg: EngineConfig) -> DataFrame:
         "n_postings",
         "min_doc_id",
         "max_doc_id",
-        "max_bm25_tf",
+        # term-level WAND bound from the float32-roundtripped block maxima
+        # (max of block_max == max over decoded values) — the raw float64
+        # array_max could under-bound the decoded scores WAND compares
+        # against, same hazard class as block_max itself.
+        F.array_max(F.col("_enc.block_max")).alias("max_bm25_tf"),
         "postings",
         F.col("_enc.doc_ids_enc").alias("doc_ids_enc"),
         F.col("_enc.tf_enc").alias("tf_enc"),

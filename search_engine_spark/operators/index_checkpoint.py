@@ -351,9 +351,16 @@ def finalize_from_raw(spark, out_dir: str, cfg: EngineConfig) -> Index:
             bm25 = (tfs * (1.0 + k1)) / (
                 tfs + k1 * (1.0 - b_ + b_ * dlen / avgdl_c)
             )
+            bm25_enc = codec.encode_tfs(bm25)
+            # block_max over the float32-ROUNDTRIPPED values, mirroring
+            # index_build._make_codec_udf: WAND prunes against decoded
+            # float32 scores, and float32 round-to-nearest can exceed the
+            # float64 original by ~1e-7 rel — a float64 max would
+            # under-bound and could drop a kth-score tie (VERDICT r02 #1).
+            bm32 = codec.decode_tfs(bm25_enc).astype(np.float64)
             nblocks = (ids.size + block - 1) // block
             bmax = [
-                float(bm25[i * block : (i + 1) * block].max())
+                float(bm32[i * block : (i + 1) * block].max())
                 for i in range(nblocks)
             ]
             postings = None
@@ -375,11 +382,11 @@ def finalize_from_raw(spark, out_dir: str, cfg: EngineConfig) -> Index:
                     "n_postings": r.n_postings,
                     "min_doc_id": r.min_doc_id,
                     "max_doc_id": r.max_doc_id,
-                    "max_bm25_tf": float(bm25.max()),
+                    "max_bm25_tf": float(bm32.max()),
                     "postings": postings,
                     "doc_ids_enc": r.doc_ids_enc,
                     "tf_enc": r.tf_enc,
-                    "bm25_tf_enc": codec.encode_tfs(bm25),
+                    "bm25_tf_enc": bm25_enc,
                     "pos_enc": r.pos_enc,
                     "block_max": bmax,
                 }

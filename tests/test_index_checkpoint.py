@@ -142,3 +142,65 @@ def test_store_arrays_change_invalidates_batches(spark, corpus_df, tmp_path):
     idx = Index.load(spark, out)
     assert idx.cfg.store_arrays is False
     assert search(idx, "banana recipe", k=5).count() > 0
+
+
+def test_finalize_block_max_is_float32_roundtripped(spark, corpus, tmp_path):
+    """VERDICT r02 #1: finalize_from_raw must compute block_max /
+    max_bm25_tf from the float32-ROUNDTRIPPED bm25 values (what WAND
+    decodes and scores), not the float64 originals — a float64 max can
+    under-bound the decoded score by ~6e-8 rel and break the WAND
+    pruning proof. Pin exact equality with a recompute from the stored
+    codec binaries, for both the resumable and the one-shot build."""
+    import numpy as np
+
+    from search_engine_spark.operators import codec
+    from search_engine_spark.operators.index_build import build_index
+
+    out = str(tmp_path / "idx_bmax")
+    b = ResumableIndexBuild(corpus, out, cfg=CFG, shards_per_batch=2)
+    resumable = b.run()
+    oneshot = build_index(corpus, cfg=CFG)
+
+    for idx in (resumable, oneshot):
+        rows = idx.postings.select(
+            "term", "shard", "bm25_tf_enc", "block_max", "max_bm25_tf"
+        ).collect()
+        assert rows
+        for r in rows:
+            bm32 = codec.decode_tfs(r["bm25_tf_enc"]).astype(np.float64)
+            bs = idx.cfg.block_size
+            expect = [
+                float(bm32[i : i + bs].max())
+                for i in range(0, bm32.size, bs)
+            ]
+            assert r["block_max"] == expect, (r["term"], r["shard"])
+            assert r["max_bm25_tf"] == float(bm32.max())
+
+
+def test_wand_over_resumable_index(spark, corpus, tmp_path):
+    """search_wand over a checkpoint-resumed index must be
+    rank-identical to the exhaustive search path — the invariant the
+    roundtripped finalize_from_raw bounds exist to protect."""
+    from search_engine_spark.operators.wand import search_wand
+
+    cfg = EngineConfig(docs_per_shard=64, block_size=8)
+    out = str(tmp_path / "idx_wand")
+    b = ResumableIndexBuild(corpus, out, cfg=cfg, shards_per_batch=2)
+    b.run(max_batches=1)  # crash boundary
+    b.run()
+    idx = Index.load(spark, out, cfg=cfg)
+    idx.postings = idx.postings.cache()
+    idx.term_stats = idx.term_stats.cache()
+
+    for q in ["banana recipe", "spark", "banana recipe hash join"]:
+        exp = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(idx, q, k=10).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_wand(idx, q, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-6, q
