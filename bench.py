@@ -115,6 +115,28 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         batch_sec = time.perf_counter() - t0
         timings["query_batch"] = round(batch_sec, 4)
 
+        # distributed batch plan (queries-as-data, one plan for any N):
+        # 100 deterministic two-term queries from the corpus vocabulary —
+        # the offline-evaluation shape where search_many's N-branch union
+        # would hit O(N) Catalyst planning
+        from search_engine_spark.operators.query import search_batch
+
+        vocab = [
+            r["term"]
+            for r in idx.term_stats.orderBy(
+                F.desc("df"), F.asc("term")
+            ).limit(40).collect()
+        ]
+        nv = len(vocab)
+        batch100 = [
+            f"{vocab[i % nv]} {vocab[(i * 7 + 3 + i // nv) % nv]}"
+            for i in range(100)
+        ]
+        t0 = time.perf_counter()
+        search_batch(idx, batch100, k=10).count()
+        batch100_sec = time.perf_counter() - t0
+        timings["query_batch100_dist"] = round(batch100_sec, 4)
+
         # block-max WAND over the codec binaries — the store_arrays=False
         # at-scale read path (decoded posting arrays never touched)
         from search_engine_spark.operators.wand import search_wand
@@ -156,6 +178,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             "query_p50": round(statistics.median(q_times), 4),
             "query_p95": round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
             "query_batched_per_query": round(batch_sec / len(QUERY_SET), 4),
+            "query_batch100_per_query": round(batch100_sec / 100, 4),
             "timings": timings,
         }
     finally:
@@ -311,6 +334,7 @@ def main() -> None:
         "query_p50_sec": r["query_p50"],
         "query_p95_sec": r["query_p95"],
         "query_batched_per_query_sec": r["query_batched_per_query"],
+        "query_batch100_per_query_sec": r["query_batch100_per_query"],
     }
     scaling = _scaling_summary()
     if scaling:

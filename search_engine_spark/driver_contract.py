@@ -533,6 +533,20 @@ def q_search_batched(spark, sf_dir):
     )
 
 
+def q_search_batch_dist(spark, sf_dir):
+    """Distributed batch plan (queries-as-data: broadcast (query, term)
+    rows joined to one shared decoded scan, per-query tournament top-k —
+    ONE plan for any N, no per-query union branches, no driver collect)
+    — must be value-identical to the per-query results, so it shares
+    search_batched's UNION-ALL oracle."""
+    from search_engine_spark.operators.query import search_batch
+
+    idx = get_index(spark, sf_dir)
+    return search_batch(idx, BATCH_QUERIES, k=10).select(
+        "query", "doc_id", F.round("score", 5).alias("score")
+    )
+
+
 def _sql_search_batched() -> str:
     parts = []
     for q, sql in [
@@ -1466,6 +1480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_pr_topk": q_bm25_pr_topk,
     "wand_pr_topk": q_wand_pr_topk,
     "search_batched": q_search_batched,
+    "search_batch_dist": q_search_batch_dist,
     "bm25_paged": q_bm25_paged,
     "total_count": q_total_count,
     "doc_metadata": q_doc_metadata,
@@ -1526,6 +1541,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_pr_topk": SQL_BM25_PR_TOPK,
     "wand_pr_topk": SQL_WAND_PR_TOPK,
     "search_batched": SQL_SEARCH_BATCHED,
+    "search_batch_dist": SQL_SEARCH_BATCHED,
     "bm25_paged": SQL_BM25_PAGED,
     "total_count": SQL_TOTAL_COUNT,
     "doc_metadata": SQL_DOC_METADATA,

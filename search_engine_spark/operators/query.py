@@ -461,6 +461,221 @@ def search_many(
     return spark.createDataFrame(rows, result_schema)
 
 
+def _batch_phrase_udf(max_gap: int):
+    """Vectorized quirk-Q8 matcher for the batch plan: the stem ORDER
+    arrives as a per-row array column (joined from broadcast metadata),
+    so one UDF serves every phrase component in the batch."""
+    from search_engine_spark.oracle import phrase_match
+
+    @pandas_udf(T.BooleanType())
+    def phrase_ok(stems_arr: pd.Series, plists: pd.Series) -> pd.Series:
+        out = []
+        for stems, entries in zip(stems_arr, plists):
+            by_term = {e["term"]: sorted(e["positions"]) for e in entries}
+            pls = [by_term.get(s, []) for s in stems]
+            out.append(phrase_match(pls, max_gap))
+        return pd.Series(out)
+
+    return phrase_ok
+
+
+def search_batch(
+    index: Index,
+    queries: list[str],
+    k: int | None = None,
+    mode: str = "bm25",
+    page_rank: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed batch evaluation: ONE plan for any number of queries
+    (VERDICT r02 #3 — ``search_many`` unions N per-query branches, so
+    Catalyst planning is O(N) and results funnel through one driver
+    collect; fine for 7 queries, a ceiling for a 10k-query offline
+    evaluation).
+
+    Shape: the batch is DATA, not plan structure —
+      (query, comp_id, term) rows  (driver-parsed, broadcast)
+      ⋈ decoded matches on term    (broadcast hash join, no shuffle of
+                                    the posting side)
+      → phrase gate per (query, comp, doc) for phrase components
+      → AND/NOT gate via one (query, doc_id) join against the right
+        component's doc set
+      → groupBy(query, doc_id).sum(idf·w)   # idf is a LITERAL map
+      → two-stage per-query top-k            # tournament: top-k per
+        (query, doc_id%16) bucket, then top-k per query — a hot query's
+        candidate set never lands in a single window partition
+    Result (query, doc_id, rel, page_rank, score) is eagerly
+    ``localCheckpoint``-ed (executor-side materialization, ≤k rows per
+    query — the driver never funnels the rows) so the shared decoded
+    scan can be released before returning.
+
+    Quirk semantics identical to ``search``/``search_many``: AND scores
+    the LEFT side only (Q4), OR unions (doc, term) pairs (the Q5
+    right-wins bias is value-neutral — both sides read the same index),
+    NOT anti-joins, phrase uses the gap-``max_gap`` matcher (Q8),
+    tie-break score DESC doc_id ASC (Q6). Duplicate query strings are
+    evaluated once."""
+    spark = index.postings.sparkSession
+    k = k or index.cfg.topk_default
+    result_schema = (
+        "query string, doc_id long, rel double, "
+        "page_rank double, score double"
+    )
+    queries = list(dict.fromkeys(queries))
+    if not queries:
+        return spark.createDataFrame([], result_schema)
+
+    do_stem = index.cfg.stem
+    # (query, comp_id, term, scoring, op, is_phr)
+    comp_rows: list[tuple] = []
+    phrase_rows: list[tuple] = []  # (query, comp_id, stems, n_uniq)
+    all_stems: list[str] = []
+    has_gate = False
+    for q in queries:
+        op, left, right = detect_operator(q)
+        comps = [(0, left)] + ([(1, right)] if op is not None else [])
+        for cid, part in comps:
+            phr = is_phrase(part)
+            stems = query_stems(strip_phrase(part) if phr else part, do_stem)
+            uniq = list(dict.fromkeys(stems))
+            scoring = cid == 0 or op == "OR"
+            has_gate = has_gate or (cid == 1 and op in ("AND", "NOT"))
+            for t in uniq:
+                comp_rows.append((q, cid, t, scoring, op or "", phr))
+            if phr and uniq:
+                phrase_rows.append((q, cid, stems, len(uniq)))
+        all_stems.extend(query_terms_needed(index, q))
+    all_stems = list(dict.fromkeys(all_stems))
+
+    if not comp_rows or not all_stems:
+        return spark.createDataFrame([], result_schema)
+
+    comp_terms = spark.createDataFrame(
+        comp_rows, "query string, comp_id int, term string, "
+        "scoring boolean, op string, is_phr boolean"
+    )
+    base = term_matches(index, all_stems).persist()
+    matched = F.broadcast(comp_terms).join(base, "term")
+
+    # phrase gate: (query, comp_id, doc_id) rows passing all-terms +
+    # gap check, one groupBy over phrase-component rows only
+    if phrase_rows:
+        pmeta = F.broadcast(
+            spark.createDataFrame(
+                phrase_rows,
+                "query string, comp_id int, stems array<string>, "
+                "n_uniq int",
+            )
+        )
+        pcand = (
+            matched.filter(F.col("is_phr"))
+            .groupBy("query", "comp_id", "doc_id")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.collect_list(F.struct("term", "positions")).alias(
+                    "plists"
+                ),
+            )
+            .join(pmeta, ["query", "comp_id"])
+            .filter(F.col("n_terms") == F.col("n_uniq"))
+        )
+        phrase_ok = pcand.filter(
+            _batch_phrase_udf(index.cfg.phrase_max_gap)(
+                F.col("stems"), F.col("plists")
+            )
+        ).select("query", "comp_id", "doc_id")
+
+    def _restrict_phrase(df):
+        """Keep only phrase-passing docs for phrase components; plain
+        components pass through untouched (the ``is_phr`` flag rides in
+        from the broadcast comp_terms metadata — no per-query plan
+        structure)."""
+        if not phrase_rows:
+            return df
+        plain = df.filter(~F.col("is_phr"))
+        phr = df.filter(F.col("is_phr")).join(
+            phrase_ok, ["query", "comp_id", "doc_id"], "left_semi"
+        )
+        return plain.unionByName(phr)
+
+    scoring = _restrict_phrase(matched.filter(F.col("scoring"))).select(
+        "query", "op", "doc_id", "term", "bm25_tf", "tf_norm"
+    ).dropDuplicates(["query", "doc_id", "term"])
+
+    if has_gate:
+        right_docs = (
+            _restrict_phrase(
+                matched.filter(
+                    (F.col("comp_id") == 1) & F.col("op").isin("AND", "NOT")
+                )
+            )
+            .select("query", "doc_id")
+            .distinct()
+            .withColumn("_gate", F.lit(True))
+        )
+        scoring = scoring.join(
+            right_docs, ["query", "doc_id"], "left"
+        ).filter(
+            F.when(F.col("op") == "AND", F.col("_gate").isNotNull())
+            .when(F.col("op") == "NOT", F.col("_gate").isNull())
+            .otherwise(F.lit(True))
+        ).drop("_gate")
+
+    idf_map = _idf_map(index, all_stems)
+    if not idf_map:
+        base.unpersist()
+        return spark.createDataFrame([], result_schema)
+    mapping = F.create_map(
+        *[
+            x
+            for t, v in sorted(idf_map.items())
+            for x in (F.lit(t), F.lit(v))
+        ]
+    )
+    w_col = F.col("bm25_tf") if mode == "bm25" else F.col("tf_norm")
+    weighted = scoring.withColumn("idf", mapping[F.col("term")]).where(
+        F.col("idf").isNotNull()
+    )
+    rel = weighted.groupBy("query", "doc_id").agg(
+        F.sum(F.col("idf") * w_col).alias("rel")
+    )
+
+    w_rel = F.lit(index.cfg.relevance_weight)
+    w_pr = F.lit(index.cfg.pagerank_weight)
+    if page_rank is None and index.docs is not None and "page_rank" in index.docs.columns:
+        page_rank = index.docs.select("doc_id", "page_rank")
+    if page_rank is not None:
+        rel = rel.join(page_rank, "doc_id", "left").fillna(
+            {"page_rank": 0.0}
+        )
+    else:
+        rel = rel.withColumn("page_rank", F.lit(0.0))
+    scored = rel.select(
+        "query",
+        "doc_id",
+        "rel",
+        "page_rank",
+        (w_rel * F.col("rel") + w_pr * F.col("page_rank")).alias("score"),
+    )
+
+    from pyspark.sql import Window
+
+    order = [F.desc("score"), F.asc("doc_id")]
+    stage1 = Window.partitionBy(
+        "query", F.pmod(F.col("doc_id"), F.lit(16))
+    ).orderBy(*order)
+    stage2 = Window.partitionBy("query").orderBy(*order)
+    topk = (
+        scored.withColumn("_r", F.row_number().over(stage1))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(stage2))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    out = topk.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
 class QueryCache:
     """Q12 (ref QP.java:25-37): access-ordered LRU over materialized
     query results, 1000 entries like the reference. Driver-side by

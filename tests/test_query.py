@@ -210,3 +210,71 @@ def test_search_many_matches_per_query_search(spark_index):
             for r in search(spark_index, q, k=10).collect()
         ]
         assert got.get(q, []) == exp, q
+
+
+def test_search_batch_matches_search_many(spark_index):
+    """The distributed batch plan (queries-as-data, one plan for any N —
+    VERDICT r02 #3) must be value-identical to search_many / per-query
+    search for every query shape, in both score modes."""
+    from search_engine_spark.operators.query import search, search_batch
+
+    queries = [
+        "banana recipe",
+        "banana AND recipe",
+        "banana OR recipe",
+        "banana NOT recipe",
+        '"banana recipe"',
+        '"banana recipe" AND spark',
+        'spark OR "banana recipe"',
+        'spark NOT "banana recipe"',
+        "the banana",
+        "zzz_absent",
+        "banana",
+    ]
+    for mode in ("bm25", "tfidf"):
+        batched = search_batch(spark_index, queries, k=10, mode=mode).collect()
+        got = {}
+        for r in batched:
+            got.setdefault(r.query, []).append(
+                (r.doc_id, round(r.score, 9))
+            )
+        # per-query rows must arrive rank-sorted after a per-query sort
+        for q in queries:
+            exp = [
+                (r.doc_id, round(r.score, 9))
+                for r in search(spark_index, q, k=10, mode=mode).collect()
+            ]
+            rows = sorted(got.get(q, []), key=lambda t: (-t[1], t[0]))
+            assert rows == exp, (mode, q)
+
+
+def test_search_batch_with_pagerank(spark_index, spark):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import search, search_batch
+
+    pr = spark_index.doc_stats.select(
+        "doc_id",
+        ((F.crc32(F.col("doc_id").cast("string")) % 997) / 997.0).alias(
+            "page_rank"
+        ),
+    )
+    queries = ["banana recipe", "banana AND recipe", '"banana recipe"']
+    batched = search_batch(spark_index, queries, k=5, page_rank=pr).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r.query, []).append((r.doc_id, round(r.score, 9)))
+    for q in queries:
+        exp = [
+            (r.doc_id, round(r.score, 9))
+            for r in search(spark_index, q, k=5, page_rank=pr).collect()
+        ]
+        rows = sorted(got.get(q, []), key=lambda t: (-t[1], t[0]))
+        assert rows == exp, q
+
+
+def test_search_batch_empty_inputs(spark_index, spark):
+    from search_engine_spark.operators.query import search_batch
+
+    assert search_batch(spark_index, [], k=5).count() == 0
+    assert search_batch(spark_index, ["zzz_absent"], k=5).count() == 0
