@@ -136,6 +136,62 @@ def term_matches(
     )
 
 
+def term_doc_ids(
+    index: Index, stems: list[str], base: DataFrame | None = None
+) -> DataFrame:
+    """Ids-only posting lookup for AND/NOT probe sides: quirk Q4 keeps
+    the LEFT side's term data regardless, so the right component only
+    ever contributes a doc-id set. Decoding tf/bm25/positions for it
+    (VERDICT r02 #4) was pure waste — this path reads/decodes ONLY the
+    doc ids:
+      * ``store_arrays=True``: explode ``postings.doc_id`` (a single
+        array<long> field extraction — positions/tf arrays never
+        materialize per-row),
+      * ``store_arrays=False``: an Arrow stage over just the
+        ``doc_ids_enc`` binary (delta+varint decode; tf/bm25/pos codecs
+        untouched, and column pruning keeps them out of the scan)."""
+    if base is not None:
+        return base.filter(F.col("term").isin(list(stems))).select("doc_id")
+    rows = index.postings.filter(F.col("term").isin(list(stems)))
+    if index.cfg.store_arrays:
+        return rows.select(F.explode("postings.doc_id").alias("doc_id"))
+
+    import numpy as np
+
+    from search_engine_spark.operators import codec
+
+    def decode_ids(batches):
+        for pdf in batches:
+            arrs = [
+                codec.delta_decode_ids(b) for b in pdf["doc_ids_enc"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(arrs)
+                    if arrs
+                    else np.empty(0, dtype=np.int64)
+                }
+            )
+
+    return rows.select("doc_ids_enc").mapInPandas(
+        decode_ids, schema="doc_id long"
+    )
+
+
+def component_doc_ids(
+    index: Index, part: str, base: DataFrame | None = None
+) -> DataFrame:
+    """Doc-id set of one query component — the AND/NOT probe side.
+    Phrase components still need positions (gap check), so they take the
+    full decode; term components take the ids-only path."""
+    do_stem = index.cfg.stem
+    if is_phrase(part):
+        return phrase_matches(
+            index, query_stems(strip_phrase(part), do_stem), base=base
+        ).select("doc_id")
+    return term_doc_ids(index, query_stems(part, do_stem), base=base)
+
+
 def _make_phrase_udf(stems: list[str], max_gap: int):
     """Vectorized wrapper over the quirk-Q8 matcher. ``plists`` arrives as
     one array<struct<term, positions>> per candidate doc."""
@@ -232,13 +288,16 @@ def _query_matches(
     shared by search / search_paged / total_count."""
     op, left, right = detect_operator(query)
     matches = component_matches(index, left, base=base)
-    if op is not None:
-        rm = component_matches(index, right, base=base)
-        matches = {
-            "AND": combine_and,
-            "NOT": combine_not,
-            "OR": combine_or,
-        }[op](matches, rm)
+    if op == "OR":
+        matches = combine_or(
+            matches, component_matches(index, right, base=base)
+        )
+    elif op in ("AND", "NOT"):
+        # probe side: ids-only lookup (quirk Q4 discards its term data)
+        ids = component_doc_ids(index, right, base=base)
+        matches = (combine_and if op == "AND" else combine_not)(
+            matches, ids
+        )
     return matches
 
 

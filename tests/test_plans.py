@@ -115,3 +115,41 @@ def test_wand_pr_plan_cogroups_on_shard(saved_index, spark, corpus_df):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
     assert "LeftSemi" in plan
+
+
+def test_boolean_probe_side_reads_ids_only(spark, corpus_df, tmp_path_factory):
+    """AND/NOT probe sides must take the ids-only path (quirk Q4 keeps
+    the left side's data anyway): on the codec profile the probe branch
+    scan reads ONLY doc_ids_enc — tf/bm25/pos codecs stay unread."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.query import search
+
+    d = str(tmp_path_factory.mktemp("idx_codec"))
+    build_index(corpus_df, cfg=EngineConfig(store_arrays=False)).save(d)
+    idx = Index.load(spark, d)
+
+    plan = _plan(search(idx, "banana AND recipe", k=10))
+    schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    probe = [
+        s for s in schemas if "doc_ids_enc" in s and s.count("_enc") == 1
+    ]
+    assert probe, f"no ids-only probe scan in: {schemas}"
+
+    # arrays profile: the probe branch explodes postings.doc_id only —
+    # nested-schema pruning keeps tf/positions out of its scan
+    d2 = str(tmp_path_factory.mktemp("idx_arr"))
+    build_index(corpus_df).save(d2)
+    idx2 = Index.load(spark, d2)
+    plan2 = _plan(search(idx2, "banana AND recipe", k=10))
+    schemas2 = [
+        seg.splitlines()[0] for seg in plan2.split("ReadSchema: ")[1:]
+    ]
+    probe2 = [
+        s
+        for s in schemas2
+        if "postings:array<struct<doc_id:bigint>>" in s
+    ]
+    assert probe2, f"no pruned probe scan in: {schemas2}"
