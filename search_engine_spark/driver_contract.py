@@ -358,24 +358,30 @@ SQL_RESUMABLE_TOPK = SQL_BM25_TOPK
 
 
 def q_sectioned_postings(spark, sf_dir):
-    """T5/T6 weighted multi-section analyzer through the full index
-    build: title section (synthesized deterministically, weight 5.0) +
-    the document text as the content section (weight 1.0). With the
-    SIMPLE analyzer (no stem/stopwords) the weighted tf and the quirky
-    totalTokens are both closed-form in SQL."""
+    """T5/T6 end-to-end over RAW HTML: synthesize an HTML page per doc
+    (<title>guide N manual</title><div><p>text</p></div>), run the
+    section SPLITTER (operators/html.py — the Jsoup-selector analogue)
+    then the weighted analyzer through the full index build. The nested
+    div>p makes quirk Q1 OBSERVABLE in the gate: every content token is
+    extracted twice (once via its <p>, once via the enclosing <div>), so
+    content tf doubles and the totalTokens denominator is 2·doc_len + 2.
+    With the SIMPLE analyzer (no stem/stopwords) all of it is
+    closed-form in SQL."""
+    from search_engine_spark.operators.html import split_html_sections
+
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
-            F.lit("guide "), (F.col("doc_id") % 5).cast("string"),
-            F.lit(" manual"),
-        ).alias("title"),
-        F.col("text"),
+            F.lit("<title>guide "), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" manual</title><div><p>"), F.col("text"),
+            F.lit("</p></div>"),
+        ).alias("html"),
     )
-    idx = build_index(
-        docs,
-        cfg=SIMPLE_CFG,
-        sections=[("title", "title"), ("text", "content")],
-    )
+    split = split_html_sections(docs)
+    sections = [("title", "title")] + [
+        (f"h{i}", f"h{i}") for i in range(1, 7)
+    ] + [("content", "content")]
+    idx = build_index(split, cfg=SIMPLE_CFG, sections=sections)
     return idx.postings.select(
         "term", F.explode("postings").alias("p")
     ).select(
@@ -388,7 +394,9 @@ def q_sectioned_postings(spark, sf_dir):
 
 # title tokens: 'guide', str(doc_id%5) — digits FAIL the ^[a-z]+$ gate —
 # and 'manual'; so per doc the title contributes tf 5.0 to 'guide' and
-# 'manual' and 2 to the valid-token count
+# 'manual' and 2 to the valid-token count. Content tokens are counted
+# TWICE (quirk Q1: the <p> element and its enclosing <div> both yield
+# the text), each at weight 1.0.
 SQL_SECTIONED_POSTINGS = TOK_CTE + """
 , title_tf AS (
   SELECT doc_id, t.term, 5.0 AS tf
@@ -396,12 +404,12 @@ SQL_SECTIONED_POSTINGS = TOK_CTE + """
 ),
 all_tf AS (
   SELECT doc_id, term, sum(tf) AS tf FROM (
-    SELECT doc_id, term, tf FROM tf
+    SELECT doc_id, term, 2.0 * tf AS tf FROM tf
     UNION ALL
     SELECT doc_id, term, tf FROM title_tf
   ) GROUP BY doc_id, term
 ),
-dl2 AS (SELECT doc_id, doc_len + 2 AS doc_len FROM dl)
+dl2 AS (SELECT doc_id, 2 * doc_len + 2 AS doc_len FROM dl)
 SELECT a.doc_id, a.term, round(a.tf, 6) AS tf,
        round(a.tf / d.doc_len, 6) AS tf_norm
 FROM all_tf a JOIN dl2 d USING (doc_id)
