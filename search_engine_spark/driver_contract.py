@@ -1304,27 +1304,100 @@ FROM f, (SELECT unnest(range(4)) AS fi)
 
 
 def q_snippets(spark, sf_dir):
-    """Result-snippet generation (reference BackendManager.java:121-276)
-    as pure column algebra — first-hit window + query-word highlight."""
+    """Sentence-aligned result snippets (reference
+    BackendManager.generateSnippet, java:160-271): normalize, first
+    query word in list order, expand to ". " bounds within ±150,
+    contains-fallback ±100, cleanup, <strong> highlight, ellipses —
+    pure column algebra, byte-checked against the same arithmetic in
+    DuckDB SQL."""
     from search_engine_spark.operators.snippets import make_snippets
 
-    return make_snippets(_docs(spark, sf_dir), BM25_TERMS, width=150)
+    return make_snippets(
+        _docs(spark, sf_dir), BM25_TERMS, width=150, mode="sentence"
+    )
 
 
 SQL_SNIPPETS = r"""
-WITH h AS (
-  SELECT doc_id, text,
-    least(
-      CASE WHEN strpos(lower(text), 'hash') > 0 THEN strpos(lower(text),'hash') END,
-      CASE WHEN strpos(lower(text), 'join') > 0 THEN strpos(lower(text),'join') END,
-      CASE WHEN strpos(lower(text), 'window') > 0 THEN strpos(lower(text),'window') END
-    ) AS first
+WITH norm AS (
+  SELECT doc_id, trim(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s*[\r\n]+\s*', ' ', 'g'),
+      '\s*[.,!?]+\s*', '. ', 'g'),
+      '\.+', '.', 'g'),
+      '\s+', ' ', 'g')
+  ) AS t
   FROM documents
+),
+best AS (
+  SELECT doc_id, t, length(t) AS n,
+    coalesce(
+      CASE WHEN strpos(lower(t), 'hash') > 0 THEN strpos(lower(t), 'hash') END,
+      CASE WHEN strpos(lower(t), 'join') > 0 THEN strpos(lower(t), 'join') END,
+      CASE WHEN strpos(lower(t), 'window') > 0 THEN strpos(lower(t), 'window') END
+    ) AS best1
+  FROM norm
+),
+bounds AS (
+  SELECT doc_id, t, n, best1 - 1 AS bp0,
+    CASE WHEN strpos(reverse(substr(t, 1, best1 - 1)), ' .') > 0
+         THEN (best1 - 1) - strpos(reverse(substr(t, 1, best1 - 1)), ' .') - 1
+    END AS q0,
+    CASE WHEN strpos(substr(t, best1), '. ') > 0
+         THEN strpos(substr(t, best1), '. ') - 1 + (best1 - 1)
+    END AS e0
+  FROM best WHERE best1 IS NOT NULL
+),
+se AS (
+  SELECT doc_id, t, n, bp0,
+    CASE WHEN q0 IS NOT NULL AND q0 + 2 > bp0 - 150
+         THEN q0 ELSE greatest(0, bp0 - 150) END AS start0,
+    CASE WHEN e0 IS NOT NULL AND e0 < bp0 + 150
+         THEN e0 + 2 ELSE least(n, bp0 + 150) END AS end0
+  FROM bounds
+),
+body1 AS (
+  SELECT *, trim(substr(t, start0 + 1, end0 - start0)) AS b FROM se
+),
+body2 AS (
+  SELECT doc_id, n, start0,
+    CASE WHEN hw THEN b
+         ELSE trim(substr(t, greatest(0, bp0 - 100) + 1,
+                          least(n, bp0 + 100) - greatest(0, bp0 - 100)))
+    END AS b,
+    CASE WHEN hw THEN end0 ELSE least(n, bp0 + 100) END AS final_end
+  FROM (
+    SELECT *, (strpos(lower(b), 'hash') > 0 OR strpos(lower(b), 'join') > 0
+               OR strpos(lower(b), 'window') > 0) AS hw
+    FROM body1
+  )
+),
+clean AS (
+  SELECT doc_id, start0, final_end, n,
+    regexp_replace(
+    trim(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(b, '\s+', ' ', 'g'),
+      '\s*[.,!?]+\s*', '. ', 'g'),
+      '\.+', '.', 'g'),
+      '^[^a-zA-Z0-9]+', ''),
+      '[^a-zA-Z0-9]+$', '')
+    ), '(?i)\b(hash|join|window)\b', '<strong>\1</strong>', 'g') AS b
+  FROM body2
 )
 SELECT doc_id,
-  regexp_replace(substr(text, greatest(1, coalesce(first,1) - 75), 150),
-                 '(?i)\b(hash|join|window)\b', '**\1**', 'g') AS snippet
-FROM h
+  (CASE WHEN start0 > 0 THEN '...' ELSE '' END) || b ||
+  (CASE WHEN final_end < n THEN '...' ELSE '' END) AS snippet
+FROM clean
+UNION ALL
+SELECT doc_id, 'No preview available for this result.' AS snippet
+FROM best WHERE best1 IS NULL
 """
 
 

@@ -250,3 +250,128 @@ def test_lsh_null_embedding_bucket_zero(spark):
     }
     assert got[1] == 0
     assert 0 <= got[0] < 16 and 0 <= got[2] < 16
+
+
+# ---------------------------------------------------------------------------
+# sentence-aligned snippet mode (reference BackendManager.generateSnippet)
+
+
+def _java_snippet(text, query_words, radius=150):
+    """Direct pure-Python transcription of the reference's
+    generateSnippet (BackendManager.java:160-271): the pytest oracle for
+    mode="sentence". Single-alternation highlight (the reference loops a
+    SET of words in undefined order; alternation is the deterministic
+    equivalent)."""
+    import re as _re
+
+    t = _re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", text or "")
+    t = _re.sub(r"\s*[\r\n]+\s*", " ", t)
+    t = _re.sub(r"\s*[.,!?]+\s*", ". ", t)
+    t = _re.sub(r"\.+", ".", t)
+    t = _re.sub(r"\s+", " ", t)
+    t = t.strip()
+    low = t.lower()
+    best = -1
+    for w in query_words:
+        p = low.find(w.lower())
+        if p != -1:
+            best = p
+            break
+    if best == -1:
+        return "No preview available for this result."
+    startPos = best
+    while startPos > 0 and startPos > best - radius:
+        if startPos >= 2 and t[startPos - 2 : startPos] == ". ":
+            startPos -= 2
+            break
+        startPos -= 1
+    endPos = best
+    while endPos < len(t) and endPos < best + radius:
+        if endPos + 2 <= len(t) and t[endPos : endPos + 2] == ". ":
+            endPos += 2
+            break
+        endPos += 1
+    startPos, endPos = max(0, startPos), min(len(t), endPos)
+    lead = "..." if startPos > 0 else ""
+    body = t[startPos:endPos].strip()
+    if not any(w.lower() in body.lower() for w in query_words):
+        s2, endPos = max(0, best - 100), min(len(t), best + 100)
+        body = t[s2:endPos].strip()
+    body = _re.sub(r"\s+", " ", body)
+    body = _re.sub(r"\s*[.,!?]+\s*", ". ", body)
+    body = _re.sub(r"\.+", ".", body)
+    body = _re.sub(r"^[^a-zA-Z0-9]+", "", body)
+    body = _re.sub(r"[^a-zA-Z0-9]+$", "", body)
+    body = body.strip()
+    pat = "(?i)\\b(" + "|".join(_re.escape(w) for w in query_words) + ")\\b"
+    body = _re.sub(pat, lambda m: f"<strong>{m.group(0)}</strong>", body)
+    tail = "..." if endPos < len(t) else ""
+    return lead + body + tail
+
+
+SENTENCE_EDGE_DOCS = [
+    "plain words then hash appears late " + "x " * 120 + "hash end",
+    "Short. With hash here. Another sentence follows. " + "y" * 200,
+    ("a" * 200) + " hash " + ("b" * 200),
+    "hash at start. second sentence. third sentence.",
+    "no query word at all in this text",
+    "punctuation,, and!! weird?? spacing\n\nnewlines\ttabs hash done",
+    "ends exactly at hash",
+    "hash",
+    "A window into a join. The hash join window. tail words here.",
+    "CASE case Hash HASH hash mixed case matches",
+]
+
+
+def test_sentence_snippets_match_java_transcription(spark):
+    words = ["hash", "join", "window"]
+    rows = [(i, t) for i, t in enumerate(SENTENCE_EDGE_DOCS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in make_snippets(df, words, width=150, mode="sentence").collect()
+    }
+    for i, t in rows:
+        assert got[i] == _java_snippet(t, words), (i, t[:60], got[i])
+
+
+def test_sentence_snippets_on_corpus(spark):
+    """Every sf0.001 document through the sentence mode must equal the
+    transcription oracle byte-for-byte."""
+    words = ["hash", "join", "window"]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in make_snippets(docs, words, width=150, mode="sentence").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _java_snippet(r["text"], words), r["doc_id"]
+
+
+def test_sentence_snippets_random_property(spark):
+    """Seeded random texts (word salad + punctuation) — the loop/scan
+    arithmetic must agree with the transcription on arbitrary inputs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["hash", "join", "alpha", "beta", "gamma", "x", "longword"]
+    punct = [". ", ", ", "! ", "? ", " ", "  ", ".", "\n"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 80)
+        rows.append(
+            (
+                i,
+                "".join(
+                    rng.choice(vocab) + rng.choice(punct) for _ in range(n)
+                ),
+            )
+        )
+    words = ["hash", "join"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in make_snippets(df, words, width=150, mode="sentence").collect()
+    }
+    for i, t in rows:
+        assert got[i] == _java_snippet(t, words), (i, repr(t[:80]))
