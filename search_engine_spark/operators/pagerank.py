@@ -272,11 +272,34 @@ def repo_link_graph(corpus: DataFrame) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
     )
+    # inter-repo chain, DISTRIBUTED (VERDICT r02 #7: a bare
+    # Window.orderBy("repo") is a single-partition sort over one row per
+    # repo — a straggler at tens of millions of repos): range-partition
+    # the repo heads, lead() WITHIN each range partition, then stitch
+    # partition boundaries through a per-partition min/max aggregate.
+    # The only single-partition work left is the boundary window over
+    # ONE ROW PER SHUFFLE PARTITION — metadata-scale at any corpus size.
     firsts = corpus.groupBy("repo").agg(F.min("doc_id").alias("head"))
-    w2 = Window.orderBy("repo")
-    inter = (
-        firsts.withColumn("nxt_head", F.lead("head").over(w2))
+    parts = firsts.repartitionByRange("repo").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("repo")
+    within = (
+        parts.withColumn("nxt_head", F.lead("head").over(wp))
         .where(F.col("nxt_head").isNotNull())
         .select(F.col("head").alias("src"), F.col("nxt_head").alias("dst"))
     )
-    return intra.unionByName(inter)
+    bounds = parts.groupBy("pid").agg(
+        F.min_by("head", "repo").alias("first_head"),
+        F.max_by("head", "repo").alias("last_head"),
+    )
+    wb = Window.orderBy("pid")  # tiny: one row per range partition
+    cross = (
+        bounds.withColumn("nxt_first", F.lead("first_head").over(wb))
+        .where(F.col("nxt_first").isNotNull())
+        .select(
+            F.col("last_head").alias("src"),
+            F.col("nxt_first").alias("dst"),
+        )
+    )
+    return intra.unionByName(within).unionByName(cross)

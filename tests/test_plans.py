@@ -153,3 +153,21 @@ def test_boolean_probe_side_reads_ids_only(spark, corpus_df, tmp_path_factory):
         if "postings:array<struct<doc_id:bigint>>" in s
     ]
     assert probe2, f"no pruned probe scan in: {schemas2}"
+
+
+def test_repo_link_graph_inter_repo_edges_distributed(spark, corpus_df):
+    """The inter-repo head chain must not sort the one-row-per-repo
+    frame in a single partition (VERDICT r02 #7): heads are
+    range-partitioned with lead() per partition; the only
+    single-partition exchange left feeds the boundary-stitch window
+    over ONE ROW PER RANGE PARTITION (metadata-scale)."""
+    from search_engine_spark.operators.pagerank import repo_link_graph
+
+    g = repo_link_graph(corpus_df)
+    plan = _plan(g)
+    assert "rangepartitioning(repo" in plan
+    # exactly one SinglePartition exchange, and it sits above the
+    # per-partition (pid) aggregate, never above repo-level data
+    assert plan.count("Exchange SinglePartition") == 1
+    tiny = plan.split("Exchange SinglePartition")[1]
+    assert "pid" in tiny.split("Exchange")[0]
