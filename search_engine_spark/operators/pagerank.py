@@ -223,8 +223,13 @@ def write_back_pagerank(
     ``<path>.old`` — which this function self-heals on the next call (and
     requires a driver-local POSIX path; on object stores / HDFS use the
     Iceberg form, where this whole function is one ``MERGE INTO``
-    snapshot commit and the staging dance disappears). Returns the number
-    of docs that received a nonzero rank."""
+    snapshot commit and the staging dance disappears). Single-writer,
+    no-concurrent-readers contract (ADVICE r02): a reader with a lazy
+    DataFrame over ``docs_path`` that scans DURING the swap fails or
+    reads nothing while the directory is momentarily absent — schedule
+    the write-back in a maintenance window, or use the Iceberg form
+    whose snapshot commit readers never observe mid-flight. Returns the
+    number of docs that received a nonzero rank."""
     import os
     import shutil
 

@@ -432,6 +432,10 @@ def search_paged(
     ``SearchResponse(emptyList, rankedDocIds.size())``. The slice plans
     as a global-sort limit over the (small) scored set; ``total`` is the
     ranked-candidate count, exactly ``rankedDocIds.size()``."""
+    if page < 0 or size <= 0:
+        raise ValueError(
+            f"page must be >= 0 and size >= 1 (got page={page}, size={size})"
+        )
     scored = score_matches(
         index,
         _query_matches(index, query),

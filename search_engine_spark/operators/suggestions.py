@@ -55,7 +55,14 @@ class Trie:
     distinct-term vocabulary — kept for API parity with the reference;
     the DataFrame path (``prefix_suggest``) is the production route.
     ``insert`` with a new frequency REPLACES the word's entry along the
-    prefix path (reference updates frequency the same way)."""
+    prefix path (reference updates frequency the same way).
+
+    Parity notes (ADVICE r02): only CHILD nodes along the path carry
+    top lists — like the reference's insert/updateTopSuggestions, the
+    root is never noted, so ``suggest("")`` returns [] exactly as
+    ``getTopSuggestions("")`` does. One documented deviation: ties sort
+    (-freq, word) deterministically, where the reference's tie order is
+    HashMap/insertion-order dependent (not reproducible by design)."""
 
     TOP_K = 10
 
@@ -72,7 +79,6 @@ class Trie:
 
     def insert(self, word: str, freq: int = 1) -> None:
         node = self
-        node._note(word, freq)
         for ch in word:
             node = node.children.setdefault(ch, Trie())
             node._note(word, freq)

@@ -53,8 +53,11 @@ def _first_wins(key, pdfs, state: GroupState):
         row = pdf.loc[pdf["doc_id"].idxmin()]
         if best is None or row["doc_id"] < best["doc_id"]:
             best = row
-    state.update((True,))
+    # mark the hash seen ONLY when a winner was emitted: an all-empty
+    # chunk iterator must not permanently swallow the hash's first
+    # occurrence in a later batch (ADVICE r02)
     if best is not None:
+        state.update((True,))
         yield pd.DataFrame(
             {
                 "content_hash": [key[0]],

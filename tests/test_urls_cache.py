@@ -148,3 +148,55 @@ def test_extract_links_job_cli(spark, tmp_path):
     assert set(links.columns) == {"doc_id", "extracted_link"}
     edges = {(r.src, r.dst) for r in spark.read.parquet(out + "_edges").collect()}
     assert edges == {(i, (i + 1) % 6) for i in range(6)}
+
+
+def test_trie_empty_prefix_and_root(spark_index=None):
+    """ADVICE r02: the reference's Trie only notes CHILD nodes, so the
+    empty prefix suggests nothing."""
+    from search_engine_spark.operators.suggestions import Trie
+
+    t = Trie()
+    t.insert("spark", 5)
+    t.insert("scan", 9)
+    assert t.suggest("") == []
+    assert t.suggest("s") == ["scan", "spark"]
+    assert t.suggest("sp") == ["spark"]
+
+
+def test_search_paged_validates_arguments():
+    import pytest as _pytest
+
+    from search_engine_spark.operators.query import search_paged
+
+    with _pytest.raises(ValueError):
+        search_paged(None, "q", page=-1, size=10)
+    with _pytest.raises(ValueError):
+        search_paged(None, "q", page=0, size=0)
+
+
+def test_streaming_dedup_all_empty_chunks_do_not_poison_state():
+    """ADVICE r02: an all-empty chunk iterator must not mark the hash
+    seen — the true first occurrence in a later batch must still emit."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.dedup_stream import _first_wins
+
+    class _State:
+        def __init__(self):
+            self.exists = False
+            self.updated = False
+
+        def update(self, v):
+            self.updated = True
+            self.exists = True
+
+    empty = pd.DataFrame({"doc_id": [], "text": []})
+    st = _State()
+    out = list(_first_wins(("h",), iter([empty]), st))
+    assert out == [] and not st.updated
+
+    # later batch with real rows: the first occurrence emits
+    rows = pd.DataFrame({"doc_id": [7, 3], "text": ["a", "b"]})
+    out = list(_first_wins(("h",), iter([rows]), st))
+    assert len(out) == 1 and int(out[0]["doc_id"].iloc[0]) == 3
+    assert st.updated
