@@ -46,7 +46,12 @@ def _mk_spark(cores: int, shuffle_parts: int):
     }
     # Shuffle/spill on tmpfs when available: this sandbox's virtio disk
     # shows pathological sys-time storms under 32 concurrent writers.
-    if os.path.isdir("/dev/shm"):
+    # SPARK_GRAFT_DISK_SHUFFLE=1 opts back into the on-disk default (the
+    # large-corpus scaling study uses it to exercise real spill I/O).
+    if (
+        os.path.isdir("/dev/shm")
+        and os.environ.get("SPARK_GRAFT_DISK_SHUFFLE") != "1"
+    ):
         d = "/dev/shm/spark-local"
         os.makedirs(d, exist_ok=True)
         extra["spark.local.dir"] = d
@@ -145,6 +150,36 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         search_wand(idx, QUERY_SET[0], k=10).collect()
         timings["q1_wand"] = round(time.perf_counter() - t0, 4)
 
+        # driver-side serving tier: same saved artifacts, no Spark job
+        # per query — the reference's warm/cached single-node regime
+        import shutil
+        import tempfile
+
+        from search_engine_spark.serving import ServingIndex
+
+        serve_dir = tempfile.mkdtemp(prefix="se_bench_serve_")
+        try:
+            idx.save(serve_dir)
+            srv = ServingIndex.load(serve_dir)
+            for q in QUERY_SET:  # warm decode caches
+                srv.cached_search(q, k=10)
+            t0 = time.perf_counter()
+            for q in QUERY_SET:
+                srv.search(q, k=10)
+            serving_warm_ms = (
+                (time.perf_counter() - t0) * 1000 / len(QUERY_SET)
+            )
+            t0 = time.perf_counter()
+            for q in QUERY_SET:
+                srv.cached_search(q, k=10)
+            serving_cached_ms = (
+                (time.perf_counter() - t0) * 1000 / len(QUERY_SET)
+            )
+            timings["serving_warm_ms"] = round(serving_warm_ms, 3)
+            timings["serving_cached_ms"] = round(serving_cached_ms, 4)
+        finally:
+            shutil.rmtree(serve_dir, ignore_errors=True)
+
         # dedup + similarity headliners
         from search_engine_spark.operators.dedup import (
             exact_dedup,
@@ -179,6 +214,8 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             "query_p95": round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
             "query_batched_per_query": round(batch_sec / len(QUERY_SET), 4),
             "query_batch100_per_query": round(batch100_sec / 100, 4),
+            "serving_warm_ms": round(serving_warm_ms, 3),
+            "serving_cached_ms": round(serving_cached_ms, 4),
             "timings": timings,
         }
     finally:
@@ -335,6 +372,8 @@ def main() -> None:
         "query_p95_sec": r["query_p95"],
         "query_batched_per_query_sec": r["query_batched_per_query"],
         "query_batch100_per_query_sec": r["query_batch100_per_query"],
+        "serving_warm_ms": r["serving_warm_ms"],
+        "serving_cached_ms": r["serving_cached_ms"],
     }
     scaling = _scaling_summary()
     if scaling:

@@ -1,0 +1,298 @@
+"""Driver-side query serving over the saved index artifacts.
+
+The reference is a single-node server (Spring backend over SQLite,
+SE/BackendManager.java + QP): warm queries answer in 20-50 ms and
+cached ones in <5 ms because the index lives in local structures, not
+behind a batch scheduler. Spark's per-job floor (~0.3-0.8 s on
+local[32]) can never meet that bar — and shouldn't: the 100 TB design
+splits the system into (a) Spark building/merging the compact codec
+index at cluster scale and (b) a serving tier loading those SAME
+artifacts and answering queries from memory. This module is (b): it
+reads the parquet/codec artifacts written by ``Index.save`` with
+pyarrow (NO SparkSession anywhere on the query path), decodes postings
+lazily per term into numpy, and reproduces the engine's exact query
+semantics — analyzer, boolean quirks Q4/Q5, phrase gap-3, BM25/TF-IDF
+scoring, 0.7/0.3 PageRank mix, Q6 tie-break — validated rank-identical
+to the Spark path by tests/test_serving.py.
+
+Scale shape: one serving node holds ONE index shard-range (the codec
+postings for its term range — the same repartitionByRange(term) layout
+``Index.save`` already writes); a fleet of such nodes behind a router
+is the standard fan-out. This module is the single-node cell of that
+design, sized for the reference's single-node regime.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from search_engine_spark.config import DEFAULT, EngineConfig
+from search_engine_spark.operators import codec
+from search_engine_spark.operators.parser import (
+    detect_operator,
+    is_phrase,
+    query_stems,
+    strip_phrase,
+)
+from search_engine_spark.oracle import phrase_match
+
+
+def _read_parquet(path: str, columns: list[str]):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns)
+
+
+class ServingIndex:
+    """In-memory query server over a saved index directory."""
+
+    def __init__(
+        self,
+        enc_rows: dict,
+        idf: dict,
+        doc_ids: np.ndarray,
+        doc_lens: np.ndarray,
+        n_docs: int,
+        avgdl: float,
+        cfg: EngineConfig,
+        page_rank: dict | None = None,
+        cache_size: int = 1000,
+    ):
+        self._enc = enc_rows          # term -> list[(ids_enc, tf_enc, bm_enc, pos_enc)]
+        self._idf = idf               # term -> idf
+        self._doc_ids = doc_ids       # sorted
+        self._doc_lens = doc_lens
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.cfg = cfg
+        self._pr = page_rank or {}
+        self._decoded: dict[str, tuple] = {}
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_size = cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    # -- loading ----------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str, page_rank: dict | None = None) -> "ServingIndex":
+        """Read ``Index.save`` artifacts with pyarrow — no Spark."""
+        import dataclasses
+
+        meta_file = sorted(
+            glob.glob(os.path.join(path, "meta", "part-*"))
+        )[0]
+        with open(meta_file) as fh:
+            meta = json.loads(json.loads(fh.readline())["meta"])
+        names = {f.name for f in dataclasses.fields(EngineConfig)}
+        saved = meta.get("cfg") or {}
+        cfg = EngineConfig(
+            **{k: v for k, v in saved.items() if k in names}
+        ) if saved else DEFAULT
+
+        pt = _read_parquet(
+            os.path.join(path, "postings"),
+            ["term", "shard", "doc_ids_enc", "tf_enc", "bm25_tf_enc",
+             "pos_enc"],
+        )
+        terms = pt.column("term").to_pylist()
+        shards = pt.column("shard").to_pylist()
+        ids_e = pt.column("doc_ids_enc").to_pylist()
+        tf_e = pt.column("tf_enc").to_pylist()
+        bm_e = pt.column("bm25_tf_enc").to_pylist()
+        pos_e = pt.column("pos_enc").to_pylist()
+        enc_rows: dict[str, list] = {}
+        for t, sh, a, b, c, d in zip(terms, shards, ids_e, tf_e, bm_e, pos_e):
+            enc_rows.setdefault(t, []).append((sh, a, b, c, d))
+        for rows in enc_rows.values():
+            rows.sort(key=lambda r: r[0])  # shard order == doc-id order
+
+        ts = _read_parquet(os.path.join(path, "term_stats"), ["term", "idf"])
+        idf = dict(
+            zip(ts.column("term").to_pylist(), ts.column("idf").to_pylist())
+        )
+        ds = _read_parquet(
+            os.path.join(path, "doc_stats"), ["doc_id", "doc_len"]
+        )
+        d_ids = np.asarray(ds.column("doc_id").to_pylist(), dtype=np.int64)
+        d_len = np.asarray(ds.column("doc_len").to_pylist(), dtype=np.float64)
+        order = np.argsort(d_ids)
+        return cls(
+            enc_rows, idf, d_ids[order], d_len[order],
+            int(meta["n_docs"]), float(meta["avgdl"]), cfg,
+            page_rank=page_rank,
+        )
+
+    # -- postings ---------------------------------------------------------
+
+    def _postings(self, term: str):
+        """(ids, bm25, tf_norm, positions) for one term, decoded lazily
+        and memoized. Ids arrive sorted (shard order)."""
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return hit
+        rows = self._enc.get(term)
+        if rows is None:
+            out = (
+                np.empty(0, np.int64), np.empty(0, np.float64),
+                np.empty(0, np.float64), [],
+            )
+            self._decoded[term] = out
+            return out
+        ids_l, bm_l, tf_l, pos_l = [], [], [], []
+        for _sh, a, b, c, d in rows:
+            ids = codec.delta_decode_ids(a)
+            ids_l.append(ids)
+            tf_l.append(codec.decode_tfs(b))
+            bm_l.append(codec.decode_tfs(c))
+            pos_l.extend(codec.decode_positions(d, ids.size))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l).astype(np.float64)
+        bms = np.concatenate(bm_l).astype(np.float64)
+        dl = self._doc_lens[np.searchsorted(self._doc_ids, ids)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn = np.where(dl > 0, tfs / dl, 0.0)
+        out = (ids, bms, tfn, pos_l)
+        self._decoded[term] = out
+        return out
+
+    # -- query components -------------------------------------------------
+
+    def _component(self, part: str) -> dict:
+        """term -> (ids, bm25, tf_norm) rows for one query component
+        (phrase components doc-filtered by the gap-3 matcher)."""
+        do_stem = self.cfg.stem
+        if is_phrase(part):
+            stems = query_stems(strip_phrase(part), do_stem)
+            uniq = list(dict.fromkeys(stems))
+            if not uniq:
+                return {}
+            per = {s: self._postings(s) for s in uniq}
+            cand = per[uniq[0]][0]
+            for s in uniq[1:]:
+                cand = np.intersect1d(cand, per[s][0], assume_unique=True)
+            ok = []
+            for doc in cand:
+                pls = []
+                for s in stems:
+                    ids, _, _, pos = per[s]
+                    pls.append(
+                        sorted(pos[int(np.searchsorted(ids, doc))])
+                    )
+                if phrase_match(pls, self.cfg.phrase_max_gap):
+                    ok.append(int(doc))
+            okset = np.asarray(ok, dtype=np.int64)
+            out = {}
+            for s in uniq:
+                ids, bm, tfn, _ = per[s]
+                m = np.isin(ids, okset, assume_unique=True)
+                out[s] = (ids[m], bm[m], tfn[m])
+            return out
+        stems = list(dict.fromkeys(query_stems(part, do_stem)))
+        out = {}
+        for s in stems:
+            ids, bm, tfn, _ = self._postings(s)
+            if ids.size:
+                out[s] = (ids, bm, tfn)
+        return out
+
+    @staticmethod
+    def _docs_of(comp: dict) -> np.ndarray:
+        if not comp:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate([v[0] for v in comp.values()]))
+
+    def search(
+        self,
+        query: str,
+        k: int | None = None,
+        mode: str = "bm25",
+        page_rank: dict | None = None,
+    ) -> list[tuple]:
+        """Top-k [(doc_id, rel, page_rank, score)] — rank-identical to
+        ``operators.query.search`` (pinned by tests/test_serving.py)."""
+        k = k or self.cfg.topk_default
+        op, left, right = detect_operator(query)
+        comp = self._component(left)
+        if op == "OR":
+            rm = self._component(right)
+            # quirk Q5 union: (doc, term) pairs merge; values identical
+            # per pair, so a per-term id-union suffices
+            for t, (ids, bm, tfn) in rm.items():
+                if t in comp:
+                    lids, lbm, ltfn = comp[t]
+                    extra = ~np.isin(ids, lids, assume_unique=True)
+                    comp[t] = (
+                        np.concatenate([lids, ids[extra]]),
+                        np.concatenate([lbm, bm[extra]]),
+                        np.concatenate([ltfn, tfn[extra]]),
+                    )
+                else:
+                    comp[t] = (ids, bm, tfn)
+        elif op in ("AND", "NOT"):
+            rdocs = self._docs_of(self._component(right))
+            keep = op == "AND"
+            out = {}
+            for t, (ids, bm, tfn) in comp.items():
+                m = np.isin(ids, rdocs, assume_unique=True)
+                if not keep:
+                    m = ~m
+                out[t] = (ids[m], bm[m], tfn[m])
+            comp = out  # quirk Q4: left side's data only
+
+        if not comp:
+            return []
+        pr_map = page_rank if page_rank is not None else self._pr
+        id_parts, sc_parts = [], []
+        for t, (ids, bm, tfn) in comp.items():
+            idf = self._idf.get(t)
+            if idf is None or not ids.size:
+                continue
+            w = bm if mode == "bm25" else tfn
+            id_parts.append(ids)
+            sc_parts.append(idf * w)
+        if not id_parts:
+            return []
+        all_ids = np.concatenate(id_parts)
+        all_sc = np.concatenate(sc_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        rel = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+        if pr_map:
+            pr = np.asarray([pr_map.get(int(d), 0.0) for d in uniq])
+        else:
+            pr = np.zeros(uniq.size)
+        w_rel = self.cfg.relevance_weight
+        w_pr = self.cfg.pagerank_weight
+        score = w_rel * rel + w_pr * pr
+        from search_engine_spark.operators.wand import _topk
+
+        top_ids, top_scores = _topk(uniq, score, k)
+        pos = np.searchsorted(uniq, top_ids)
+        return [
+            (int(d), float(rel[p]), float(pr[p]), float(s))
+            for d, p, s in zip(top_ids, pos, top_scores)
+        ]
+
+    def cached_search(
+        self, query: str, k: int | None = None, mode: str = "bm25"
+    ) -> list[tuple]:
+        """Q12 LRU regime (1000 entries, like the reference's QP cache):
+        a hit does zero decode/score work — the reference's <5 ms
+        cached-query path."""
+        key = (query, k, mode)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self.cache_hits += 1
+            return hit
+        self.cache_misses += 1
+        res = self.search(query, k=k, mode=mode)
+        self._cache[key] = res
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return res

@@ -1,0 +1,119 @@
+"""Driver-side serving path (serving.py): rank-identity with the Spark
+query path over the same saved index, plus latency sanity — the serving
+tier answers warm queries without any Spark job."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import Index, build_index
+from search_engine_spark.operators.query import search
+from search_engine_spark.serving import ServingIndex
+from search_engine_spark.sources.corpus import generate_corpus
+
+QUERY_SET = [
+    "banana",
+    "banana recipe",
+    "the banana",
+    "traveling",
+    '"banana recipe"',
+    "banana AND recipe",
+    "banana OR recipe",
+    "banana NOT recipe",
+    '"banana recipe" AND spark',
+    'spark OR "banana recipe"',
+    'spark NOT "banana recipe"',
+    "nosuchwordxyz",
+    "partition shuffle broadcast",
+]
+
+
+@pytest.fixture(scope="module")
+def saved(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_idx"))
+    docs = generate_corpus(spark, 400, seed=11).cache()
+    cfg = EngineConfig(docs_per_shard=64, block_size=8)
+    build_index(docs, cfg=cfg).save(d)
+    idx = Index.load(spark, d, cfg=cfg)
+    idx.postings = idx.postings.cache()
+    idx.term_stats = idx.term_stats.cache()
+    return d, idx, docs
+
+
+def test_serving_rank_identity(saved):
+    d, idx, _docs = saved
+    srv = ServingIndex.load(d)
+    assert srv.n_docs == idx.n_docs
+    for mode in ("bm25", "tfidf"):
+        for q in QUERY_SET:
+            exp = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in search(idx, q, k=10, mode=mode).collect()
+            ]
+            got = [
+                (doc, round(score, 6))
+                for doc, _rel, _pr, score in srv.search(q, k=10, mode=mode)
+            ]
+            assert [x[0] for x in got] == [x[0] for x in exp], (mode, q)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-6, (mode, q)
+
+
+def test_serving_pagerank_mix(saved, spark):
+    d, idx, docs = saved
+    pr_df = docs.select(
+        "doc_id",
+        ((F.crc32(F.col("doc_id").cast("string")) % 997) / 997.0).alias(
+            "page_rank"
+        ),
+    )
+    pr_map = {
+        int(r["doc_id"]): float(r["page_rank"]) for r in pr_df.collect()
+    }
+    srv = ServingIndex.load(d, page_rank=pr_map)
+    for q in ["banana recipe", "banana AND recipe", '"banana recipe"']:
+        exp = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(idx, q, k=10, page_rank=pr_df).collect()
+        ]
+        got = [
+            (doc, round(score, 6))
+            for doc, _rel, _pr, score in srv.search(q, k=10)
+        ]
+        assert [x[0] for x in got] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-6, q
+
+
+def test_serving_latency_and_cache(saved):
+    """Warm serving must answer well under the reference's 50 ms bar
+    and the LRU must hit in sub-millisecond territory. Generous CI
+    bounds — BENCH.md carries the measured numbers."""
+    d, _idx, _docs = saved
+    srv = ServingIndex.load(d)
+    for q in QUERY_SET:  # warm the decode cache
+        srv.cached_search(q, k=10)
+    t0 = time.perf_counter()
+    for q in QUERY_SET:
+        srv.search(q, k=10)
+    warm_ms = (time.perf_counter() - t0) * 1000 / len(QUERY_SET)
+    t0 = time.perf_counter()
+    for q in QUERY_SET:
+        srv.cached_search(q, k=10)
+    cached_ms = (time.perf_counter() - t0) * 1000 / len(QUERY_SET)
+    assert warm_ms < 50, warm_ms
+    assert cached_ms < 5, cached_ms
+    assert srv.cache_hits >= len(QUERY_SET)
+
+
+def test_serving_lru_eviction(saved):
+    d, _idx, _docs = saved
+    srv = ServingIndex.load(d)
+    srv._cache_size = 3
+    for q in ["a b", "c d", "e f", "g h"]:
+        srv.cached_search(q)
+    assert len(srv._cache) == 3
+    srv.cached_search("a b")  # evicted -> miss again
+    assert srv.cache_misses == 5
