@@ -278,6 +278,42 @@ class ServingIndex:
             for d, p, s in zip(top_ids, pos, top_scores)
         ]
 
+    def search_paged(
+        self, query: str, page: int, size: int, mode: str = "bm25"
+    ) -> tuple[list[tuple], int]:
+        """R5 pagination, reference semantics (rank the FULL candidate
+        set, slice [page·size, page·size+size), beyond-last-page →
+        (empty, total)) — same contract as ``operators.query
+        .search_paged``, served without a Spark job."""
+        if page < 0 or size <= 0:
+            raise ValueError(
+                f"page must be >= 0 and size >= 1 (got page={page}, "
+                f"size={size})"
+            )
+        full = self.search(query, k=self.n_docs or 1, mode=mode)
+        total = len(full)
+        start = page * size
+        if start >= total:
+            return [], total
+        return full[start : start + size], total
+
+    def suggest(self, prefix: str, k: int = 10) -> list[str]:
+        """U1 prefix suggestion over the served vocabulary, reference
+        CASE ordering (exact match, then 'prefix ...' phrases, then the
+        rest; alphabetical within a band)."""
+        prefix = prefix.lower()
+        hits = [t for t in self._idf if t.startswith(prefix)]
+
+        def band(t: str) -> int:
+            if t == prefix:
+                return 1
+            if t.startswith(prefix + " "):
+                return 2
+            return 3
+
+        hits.sort(key=lambda t: (band(t), t))
+        return hits[:k]
+
     def cached_search(
         self, query: str, k: int | None = None, mode: str = "bm25"
     ) -> list[tuple]:

@@ -117,3 +117,35 @@ def test_serving_lru_eviction(saved):
     assert len(srv._cache) == 3
     srv.cached_search("a b")  # evicted -> miss again
     assert srv.cache_misses == 5
+
+
+def test_serving_paged_matches_spark(saved):
+    from search_engine_spark.operators.query import search_paged
+
+    d, idx, _docs = saved
+    srv = ServingIndex.load(d)
+    q = "banana recipe"
+    for page, size in [(0, 5), (1, 5), (3, 7)]:
+        sdf, stotal = search_paged(idx, q, page, size)
+        exp = [
+            (r["doc_id"], round(r["score"], 6)) for r in sdf.collect()
+        ]
+        rows, total = srv.search_paged(q, page, size)
+        got = [(doc, round(s, 6)) for doc, _r, _p, s in rows]
+        assert total == stotal
+        assert [x[0] for x in got] == [x[0] for x in exp], (page, size)
+    # beyond last page -> (empty, total)
+    rows, total = srv.search_paged(q, 10_000, 10)
+    assert rows == [] and total == stotal
+    with pytest.raises(ValueError):
+        srv.search_paged(q, -1, 5)
+
+
+def test_serving_suggest_matches_spark(saved):
+    from search_engine_spark.operators.suggestions import prefix_suggest
+
+    d, idx, _docs = saved
+    srv = ServingIndex.load(d)
+    for p in ["s", "ba", "zz"]:
+        exp = [r["term"] for r in prefix_suggest(idx, p, k=5).collect()]
+        assert srv.suggest(p, k=5) == exp, p
