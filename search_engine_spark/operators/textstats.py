@@ -192,3 +192,77 @@ def stratified_sample(
             & (bucket < int(frac * SAMPLE_BUCKETS))
         )
     return df.where(keep)
+
+
+# --------------------------------------------------------------------------
+# sequence packing — fixed-token-budget training sequences
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing for LM training: documents
+    are laid end-to-end in ``id_col`` order (deterministic) and the
+    stream is cut every ``budget`` tokens, the standard pretraining
+    packing where a document may span a sequence boundary.
+
+    Output: (doc_id, n_tokens, start_offset, seq_first, seq_last) —
+    ``start_offset`` is the document's global token offset,
+    ``seq_first``/``seq_last`` the ids of the sequences it lands in
+    (equal unless the doc straddles a cut). A downstream tokenizer
+    shards by ``seq_first`` to materialize the actual sequences.
+
+    Scale shape: the global running token offset is a DISTRIBUTED
+    prefix sum — range-partition by id, cumsum inside each partition,
+    then add per-partition totals prefix-summed over the tiny
+    one-row-per-partition frame (same pattern as repo_link_graph's
+    boundary stitch; the only single-partition window input is one row
+    per range partition). Token count is whitespace split — swap in
+    token_count's BPE-ish regex when byte-level fidelity matters."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, toks
+    ).otherwise(F.lit(0))
+    parts = (
+        df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+        .repartitionByRange("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("pid").orderBy("doc_id")
+    local = parts.withColumn(
+        "local_end", F.sum("n_tokens").over(wl)
+    )
+    totals = parts.groupBy("pid").agg(
+        F.sum("n_tokens").alias("part_total")
+    )
+    wp = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny: one row per range partition
+    offsets = totals.withColumn(
+        "part_offset", F.coalesce(F.sum("part_total").over(wp), F.lit(0))
+    ).select("pid", "part_offset")
+    out = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("part_offset") + F.col("local_end") - F.col("n_tokens"))
+        .alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).alias("seq_first"),
+        F.floor(
+            (
+                F.col("start_offset")
+                + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+            )
+            / budget
+        ).alias("seq_last"),
+    )
