@@ -382,30 +382,40 @@ def main() -> None:
 
 
 def _scaling_summary() -> dict | None:
-    """Headline N-vs-4N numbers from the committed scaling study
-    (scaling_study.json, produced by tools/scaling_study.py on a quiet
-    machine — see BENCH.md for methodology and the hardware ceiling)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "scaling_study.json")
-    if not os.path.exists(path):
+    """Headline N-vs-4N numbers from the committed scaling studies
+    (scaling_study*.json, produced by tools/scaling_study.py on a quiet
+    machine — see BENCH.md for methodology and the hardware ceiling).
+    Efficiencies are computed PER CORPUS SIZE — runs at different
+    corpus sizes are different workloads and never compared."""
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(_glob.glob(os.path.join(here, "scaling_study*.json")))
+    if not paths:
         return None
     try:
-        state = json.load(open(path))
-        best: dict[int, float] = {}
-        n_docs = 0
-        for r in state.get("runs", []):
-            for t in r.get("build_secs", []):
-                c = r["cores"]
-                if c not in best or t < best[c]:
-                    best[c] = t
-                    n_docs = max(n_docs, r["n_docs"])
-        out = {"n_docs": n_docs, "hw_ceiling": state.get("hw_throughput")}
-        for n in sorted(best):
-            if 4 * n in best:
-                out[f"efficiency_{n}_to_{4*n}"] = round(
-                    best[n] / best[4 * n] / 4.0, 3
-                )
-        return out
+        out: dict = {"studies": []}
+        for path in paths:
+            state = json.load(open(path))
+            best: dict[tuple[int, int], float] = {}
+            for r in state.get("runs", []):
+                key = (r.get("n_docs", 0), r["cores"])
+                for t in r.get("build_secs", [r.get("build_sec")]):
+                    if key not in best or t < best[key]:
+                        best[key] = t
+            for nd in sorted({k[0] for k in best}):
+                lv = {c: t for (d, c), t in best.items() if d == nd}
+                entry = {
+                    "n_docs": nd,
+                    "hw_ceiling": state.get("hw_throughput"),
+                }
+                for n in sorted(lv):
+                    if 4 * n in lv:
+                        entry[f"efficiency_{n}_to_{4*n}"] = round(
+                            lv[n] / lv[4 * n] / 4.0, 3
+                        )
+                out["studies"].append(entry)
+        return out if out["studies"] else None
     except Exception:
         return None
 

@@ -311,8 +311,12 @@ def _resumable_index(spark, sf_dir):
         ResumableIndexBuild,
     )
 
-    if sf_dir in _RESUMABLE_CACHE:
-        return _RESUMABLE_CACHE[sf_dir]
+    hit = _RESUMABLE_CACHE.get(sf_dir)
+    # cache is session-bound: a memoized Index holds DataFrames of the
+    # SparkSession that built it — rebuild if the caller's differs
+    # (review finding: a stopped/recreated session would otherwise fail)
+    if hit is not None and hit.postings.sparkSession is spark:
+        return hit
     work = tempfile.mkdtemp(prefix="se_resume_gate_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     cfg = EngineConfig(

@@ -121,37 +121,56 @@ def _element_text(node: _Node) -> str:
     return _WS.sub(" ", " ".join(parts)).strip()
 
 
-def _select(node: _Node, tags: tuple[str, ...]) -> list[_Node]:
-    """Document-order preorder selection of elements by tag — the
-    Jsoup ``doc.select("tag")`` analogue (descendants of matches are
-    also visited, so nested <div><div> yields both)."""
-    out: list[_Node] = []
+# tag -> bucket key; the ("article", "section") selector group shares
+# ONE bucket so its elements stay interleaved in document order, exactly
+# like Jsoup's doc.select("article, section")
+_TAG_TO_GROUP: dict[str, str] = {"title": "title"}
+_TAG_TO_GROUP.update({h: h for h in _HEADERS})
+for _group in _CONTENT_GROUPS:
+    for _t in _group:
+        _TAG_TO_GROUP[_t] = _group[0]
+
+
+def _bucket_by_group(root: _Node) -> dict[str, list[_Node]]:
+    """ONE preorder walk bucketing every selector group's elements in
+    document order — the Jsoup ``doc.select(...)`` analogue for all
+    groups at once (descendants of matches are also visited, so nested
+    <div><div> yields both). A per-group walk would traverse the tree
+    12× per document on the index-build hot path (review finding)."""
+    buckets: dict[str, list[_Node]] = {
+        g[0]: [] for g in _CONTENT_GROUPS
+    }
+    buckets["title"] = []
+    for h in _HEADERS:
+        buckets[h] = []
 
     def walk(n: _Node) -> None:
         for c in n.children:
             if isinstance(c, str):
                 continue
-            if c.tag in tags:
-                out.append(c)
+            g = _TAG_TO_GROUP.get(c.tag)
+            if g is not None:
+                buckets[g].append(c)
             walk(c)
 
-    walk(node)
-    return out
+    walk(root)
+    return buckets
 
 
 def extract_sections(html: str) -> dict:
     """Pure-Python core (shared by the Spark UDF and tests): HTML ->
     {title, h1..h6, content} with the reference's element grouping and
     ordering (p's, then divs, then li's, then spans, then
-    article/section — Tokenizer.java:157-210)."""
+    article/section — Tokenizer.java:157-210). One tree walk buckets
+    all selectors."""
     p = _TreeParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
         pass  # lenient: keep whatever tree was built
-    root = p.root
-    titles = _select(root, ("title",))
+    buckets = _bucket_by_group(p.root)
+    titles = buckets["title"]
     out: dict = {
         # Jsoup doc.title(): FIRST <title>, trimmed
         "title": _element_text(titles[0]) if titles else None
@@ -159,14 +178,14 @@ def extract_sections(html: str) -> dict:
     for h in _HEADERS:
         out[h] = [
             t
-            for t in (_element_text(e) for e in _select(root, (h,)))
+            for t in (_element_text(e) for e in buckets[h])
             if t  # reference skips empty element texts
         ]
     content: list[str] = []
     for group in _CONTENT_GROUPS:
         content.extend(
             t
-            for t in (_element_text(e) for e in _select(root, group))
+            for t in (_element_text(e) for e in buckets[group[0]])
             if t
         )
     out["content"] = content

@@ -325,6 +325,53 @@ def _idf_map(index: Index, stems: list[str]) -> dict[str, float]:
     }
 
 
+def _idf_literal(idf_map: dict[str, float]):
+    """idf as a LITERAL map expression keyed by ``term`` — zero joins in
+    the scoring job (the reference's denormalized-IDF design). Empty map
+    → a null column, so the not-null filter drops every row."""
+    if not idf_map:
+        return F.lit(None).cast("double")
+    mapping = F.create_map(
+        *[
+            x
+            for t, v in sorted(idf_map.items())
+            for x in (F.lit(t), F.lit(v))
+        ]
+    )
+    return mapping[F.col("term")]
+
+
+def _mix_pagerank(
+    rel: DataFrame,
+    index: Index,
+    page_rank: DataFrame | None,
+    key_cols: list[str],
+) -> DataFrame:
+    """Attach page_rank (auto-attach from index.docs when present,
+    else 0.0) and the 0.7·rel + 0.3·pr score — shared by the per-query
+    and batch scoring paths."""
+    w_rel = F.lit(index.cfg.relevance_weight)
+    w_pr = F.lit(index.cfg.pagerank_weight)
+    if (
+        page_rank is None
+        and index.docs is not None
+        and "page_rank" in index.docs.columns
+    ):
+        page_rank = index.docs.select("doc_id", "page_rank")
+    if page_rank is not None:
+        rel = rel.join(page_rank, "doc_id", "left").fillna(
+            {"page_rank": 0.0}
+        )
+    else:
+        rel = rel.withColumn("page_rank", F.lit(0.0))
+    return rel.select(
+        *key_cols,
+        "rel",
+        "page_rank",
+        (w_rel * F.col("rel") + w_pr * F.col("page_rank")).alias("score"),
+    )
+
+
 def score_matches(
     index: Index,
     matches: DataFrame,
@@ -348,18 +395,7 @@ def score_matches(
     if idf_map is None and stems:
         idf_map = _idf_map(index, stems)
     if idf_map is not None:
-        if idf_map:
-            mapping = F.create_map(
-                *[
-                    x
-                    for t, v in sorted(idf_map.items())
-                    for x in (F.lit(t), F.lit(v))
-                ]
-            )
-            idf_col = mapping[F.col("term")]
-        else:
-            idf_col = F.lit(None).cast("double")
-        weighted = matches.withColumn("idf", idf_col).where(
+        weighted = matches.withColumn("idf", _idf_literal(idf_map)).where(
             F.col("idf").isNotNull()
         )
     else:
@@ -375,23 +411,7 @@ def score_matches(
         else F.col("idf") * F.col("tf_norm")
     )
     rel = weighted.groupBy("doc_id").agg(F.sum(rel_term).alias("rel"))
-
-    w_rel = F.lit(index.cfg.relevance_weight)
-    w_pr = F.lit(index.cfg.pagerank_weight)
-    if page_rank is None and index.docs is not None and "page_rank" in index.docs.columns:
-        page_rank = index.docs.select("doc_id", "page_rank")
-    if page_rank is not None:
-        rel = rel.join(page_rank, "doc_id", "left").fillna(
-            {"page_rank": 0.0}
-        )
-    else:
-        rel = rel.withColumn("page_rank", F.lit(0.0))
-    return rel.select(
-        "doc_id",
-        "rel",
-        "page_rank",
-        (w_rel * F.col("rel") + w_pr * F.col("page_rank")).alias("score"),
-    )
+    return _mix_pagerank(rel, index, page_rank, key_cols=["doc_id"])
 
 
 def search(
@@ -687,37 +707,15 @@ def search_batch(
     if not idf_map:
         base.unpersist()
         return spark.createDataFrame([], result_schema)
-    mapping = F.create_map(
-        *[
-            x
-            for t, v in sorted(idf_map.items())
-            for x in (F.lit(t), F.lit(v))
-        ]
-    )
     w_col = F.col("bm25_tf") if mode == "bm25" else F.col("tf_norm")
-    weighted = scoring.withColumn("idf", mapping[F.col("term")]).where(
+    weighted = scoring.withColumn("idf", _idf_literal(idf_map)).where(
         F.col("idf").isNotNull()
     )
     rel = weighted.groupBy("query", "doc_id").agg(
         F.sum(F.col("idf") * w_col).alias("rel")
     )
-
-    w_rel = F.lit(index.cfg.relevance_weight)
-    w_pr = F.lit(index.cfg.pagerank_weight)
-    if page_rank is None and index.docs is not None and "page_rank" in index.docs.columns:
-        page_rank = index.docs.select("doc_id", "page_rank")
-    if page_rank is not None:
-        rel = rel.join(page_rank, "doc_id", "left").fillna(
-            {"page_rank": 0.0}
-        )
-    else:
-        rel = rel.withColumn("page_rank", F.lit(0.0))
-    scored = rel.select(
-        "query",
-        "doc_id",
-        "rel",
-        "page_rank",
-        (w_rel * F.col("rel") + w_pr * F.col("page_rank")).alias("score"),
+    scored = _mix_pagerank(
+        rel, index, page_rank, key_cols=["query", "doc_id"]
     )
 
     from pyspark.sql import Window
@@ -760,13 +758,13 @@ class QueryCache:
         if key in self._d:
             self._d.move_to_end(key)
             self.hits += 1
-            return self._d[key]
+            return list(self._d[key])  # copy: callers must not mutate
         self.misses += 1
         rows = search(self.index, query, k=k, mode=mode).collect()
         self._d[key] = rows
         if len(self._d) > self.maxsize:
             self._d.popitem(last=False)
-        return rows
+        return list(rows)
 
 
 def total_count(index: Index, query: str) -> int:

@@ -22,6 +22,8 @@ oracle gate:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,7 +100,11 @@ def _sentence_snippet(
     body = F.regexp_replace(body, "[^a-zA-Z0-9]+$", "")
     body = F.trim(body)
     # highlight: case-insensitive word-bounded <strong> wrap
-    pattern = "(?i)\\b(" + "|".join(words) + ")\\b"
+    # escape metacharacters: a query word like "c++" must highlight
+    # literally, not crash Java Pattern (review finding)
+    pattern = (
+        "(?i)\\b(" + "|".join(_re.escape(w) for w in words) + ")\\b"
+    )
     body = F.regexp_replace(body, pattern, "<strong>$1</strong>")
 
     out = F.concat(
@@ -143,6 +149,10 @@ def make_snippets(
     first = hits[0] if len(hits) == 1 else F.least(*hits)
     start = F.greatest(F.lit(1), F.coalesce(first, F.lit(1)) - width // 2)
     window = F.substring(F.col(text_col), start, width)
-    pattern = "(?i)\\b(" + "|".join(words) + ")\\b"
+    # escape metacharacters: a query word like "c++" must highlight
+    # literally, not crash Java Pattern (review finding)
+    pattern = (
+        "(?i)\\b(" + "|".join(_re.escape(w) for w in words) + ")\\b"
+    )
     snippet = F.regexp_replace(window, pattern, "**$1**")
     return docs.select(F.col(id_col).alias("doc_id"), snippet.alias("snippet"))

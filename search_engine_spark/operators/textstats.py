@@ -225,10 +225,11 @@ def pack_sequences(
     token_count's BPE-ish regex when byte-level fidelity matters."""
     from pyspark.sql import Window
 
-    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
-    n_tok = F.when(
-        F.length(F.trim(F.col(text_col))) > 0, toks
-    ).otherwise(F.lit(0))
+    # filter '' after split: Java split keeps leading/trailing empties,
+    # and trim() strips only 0x20 — "hello\n" must count 1, not 2
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
     parts = (
         df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
         .repartitionByRange("doc_id")

@@ -15,6 +15,14 @@ semantics — analyzer, boolean quirks Q4/Q5, phrase gap-3, BM25/TF-IDF
 scoring, 0.7/0.3 PageRank mix, Q6 tie-break — validated rank-identical
 to the Spark path by tests/test_serving.py.
 
+Float regime: serving always scores the float32-decoded codec values —
+bit-identical to the Spark ``store_arrays=False`` profile's read path.
+Against the ``store_arrays=True`` profile (which stores float64
+posting arrays) scores agree to float32 quantization (~6e-8 relative),
+so a near-exact tie at a top-k boundary can order differently; the
+codec binaries are the artifact a serving tier would actually ship, so
+float32 is the contract here.
+
 Scale shape: one serving node holds ONE index shard-range (the codec
 postings for its term range — the same repartitionByRange(term) layout
 ``Index.save`` already writes); a fleet of such nodes behind a router
@@ -325,10 +333,10 @@ class ServingIndex:
         if hit is not None:
             self._cache.move_to_end(key)
             self.cache_hits += 1
-            return hit
+            return list(hit)  # copy: callers must not mutate the cache
         self.cache_misses += 1
         res = self.search(query, k=k, mode=mode)
         self._cache[key] = res
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
-        return res
+        return list(res)

@@ -375,3 +375,22 @@ def test_sentence_snippets_random_property(spark):
     }
     for i, t in rows:
         assert got[i] == _java_snippet(t, words), (i, repr(t[:80]))
+
+
+def test_snippets_regex_metachar_words(spark):
+    """Query words with regex metacharacters must highlight literally,
+    not crash Java Pattern (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "using c++ for speed. a.b is dotted.")],
+        "doc_id long, text string",
+    )
+    for mode in ("char", "sentence"):
+        got = {
+            r["doc_id"]: r["snippet"]
+            for r in make_snippets(df, ["c++", "a.b"], mode=mode).collect()
+        }
+        assert "c++" in got[1].replace("**", "").replace(
+            "<strong>", ""
+        ).replace("</strong>", "")
+        # 'a.b' must not match 'aXb'
+        assert "axb" not in got[1].lower()

@@ -84,3 +84,22 @@ def test_pack_plan_is_distributed(spark, docs):
     assert plan.count("Exchange SinglePartition") == 1
     tiny = plan.split("Exchange SinglePartition")[1]
     assert "pid" in tiny.split("Exchange")[0]
+
+
+def test_pack_whitespace_edges(spark):
+    """Leading/trailing newlines and whitespace-only docs must not count
+    phantom tokens (review finding: Java split keeps boundary empties)."""
+    from search_engine_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "hello\n"), (2, "\n"), (3, "  a  b  "), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"])
+        for r in pack_sequences(df, budget=4).collect()
+    }
+    assert got[1] == (1, 0)
+    assert got[2] == (0, 1)
+    assert got[3] == (2, 1)
+    assert got[4] == (0, 3)

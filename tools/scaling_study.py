@@ -20,7 +20,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/scaling_study.json"
+OUT = "/tmp/scaling_study.json"  # override with --out
 
 
 def _burn(n: int) -> float:
@@ -69,6 +69,7 @@ def run_level(cores: int) -> dict | None:
 
 
 def main() -> None:
+    global OUT
     levels = [1, 2, 4, 8, 32]
     passes = 2
     if "--levels" in sys.argv:
@@ -78,6 +79,12 @@ def main() -> None:
         ]
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if "--out" in sys.argv:
+        OUT = sys.argv[sys.argv.index("--out") + 1]
+    if "--docs" in sys.argv:
+        os.environ["SPARK_GRAFT_SCALING_DOCS"] = sys.argv[
+            sys.argv.index("--docs") + 1
+        ]
 
     state: dict = {"hw_throughput": {}, "runs": []}
     if os.path.exists(OUT):
@@ -97,24 +104,28 @@ def main() -> None:
                 json.dump(state, open(OUT, "w"), indent=1)
                 print(json.dumps(r), flush=True)
 
-    # summarize best (min) build_sec per level
-    best: dict[int, float] = {}
+    # summarize best (min) build_sec per (corpus size, level) — runs at
+    # different --docs sizes accumulate in one file and must never be
+    # compared across workloads (review finding)
+    best: dict[tuple[int, int], float] = {}
     for r in state["runs"]:
-        c = r["cores"]
+        key = (r.get("n_docs", 0), r["cores"])
         for t in r.get("build_secs", [r["build_sec"]]):
-            best[c] = min(best.get(c, 1e9), t)
-    print("best build_sec per level:", dict(sorted(best.items())))
-    for n in sorted(best):
-        if 4 * n in best:
-            eff = best[n] / best[4 * n] / 4.0
-            hw = state["hw_throughput"]
-            hw_eff = None
-            if str(n) in hw and str(4 * n) in hw:
-                hw_eff = hw[str(4 * n)] / hw[str(n)] / 1.0
-            print(
-                f"N={n} vs 4N={4 * n}: efficiency={eff:.3f}"
-                + (f" (hw ceiling throughput ratio {hw_eff:.3f}x)" if hw_eff else "")
-            )
+            best[key] = min(best.get(key, 1e9), t)
+    for nd in sorted({k[0] for k in best}):
+        lv = {c: t for (d, c), t in best.items() if d == nd}
+        print(f"[n_docs={nd}] best build_sec per level:", dict(sorted(lv.items())))
+        for n in sorted(lv):
+            if 4 * n in lv:
+                eff = lv[n] / lv[4 * n] / 4.0
+                hw = state["hw_throughput"]
+                hw_eff = None
+                if str(n) in hw and str(4 * n) in hw:
+                    hw_eff = hw[str(4 * n)] / hw[str(n)] / 1.0
+                print(
+                    f"[n_docs={nd}] N={n} vs 4N={4 * n}: efficiency={eff:.3f}"
+                    + (f" (hw ceiling throughput ratio {hw_eff:.3f}x)" if hw_eff else "")
+                )
 
 
 if __name__ == "__main__":
