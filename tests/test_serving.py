@@ -149,3 +149,29 @@ def test_serving_suggest_matches_spark(saved):
     for p in ["s", "ba", "zz"]:
         exp = [r["term"] for r in prefix_suggest(idx, p, k=5).collect()]
         assert srv.suggest(p, k=5) == exp, p
+
+
+def test_serving_codec_profile_bit_identity(spark, tmp_path_factory):
+    """On the store_arrays=False profile both paths score the SAME
+    float32-decoded values, so serving is bit-identical (not just
+    rank-identical) to the Spark codec read path."""
+    d = str(tmp_path_factory.mktemp("serve_codec"))
+    docs = generate_corpus(spark, 300, seed=23).cache()
+    cfg = EngineConfig(docs_per_shard=64, store_arrays=False)
+    build_index(docs, cfg=cfg).save(d)
+    from search_engine_spark.operators.index_build import Index
+
+    idx = Index.load(spark, d, cfg=cfg)
+    idx.postings = idx.postings.cache()
+    srv = ServingIndex.load(d)
+    for q in ["banana recipe", "banana AND recipe", "spark"]:
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in search(idx, q, k=10).collect()
+        ]
+        got = [
+            (doc, score) for doc, _r, _p, score in srv.search(q, k=10)
+        ]
+        assert [x[0] for x in got] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-15), q
