@@ -70,7 +70,11 @@ def test_query_cache_lru(spark, spark_index):
     qc = QueryCache(spark_index, maxsize=2)
     r1 = qc.search("banana recipe", k=3)
     r2 = qc.search("banana recipe", k=3)
-    assert r1 is r2 and qc.hits == 1 and qc.misses == 1
+    assert r1 == r2 and qc.hits == 1 and qc.misses == 1
+    # hits hand back defensive copies — mutating a result must not
+    # poison the cached entry
+    r2.clear()
+    assert qc.search("banana recipe", k=3) == r1 and qc.hits == 2
     qc.search("banana", k=3)
     qc.search("recipe", k=3)  # evicts "banana recipe" (maxsize=2)
     assert ("banana recipe", 3, "bm25") not in qc._d
