@@ -84,6 +84,9 @@ class ServingIndex:
         self._cache_size = cache_size
         self.cache_hits = 0
         self.cache_misses = 0
+        # set by load_latest/refresh when serving a published root
+        self.generation: int | None = None
+        self._root: str | None = None
 
     # -- loading ----------------------------------------------------------
 
@@ -135,6 +138,47 @@ class ServingIndex:
             int(meta["n_docs"]), float(meta["avgdl"]), cfg,
             page_rank=page_rank,
         )
+
+    @classmethod
+    def load_latest(
+        cls, root: str, page_rank: dict | None = None
+    ) -> "ServingIndex":
+        """Load the generation the ``publish.publish_index`` LATEST
+        pointer names (serve-while-indexing: the Spark builder publishes
+        immutable gen=K snapshots; this reader holds one until it
+        chooses to ``refresh``)."""
+        from search_engine_spark.publish import latest_index_path, read_latest
+
+        srv = cls.load(latest_index_path(root), page_rank=page_rank)
+        srv.generation = read_latest(root)["generation"]
+        srv._root = root
+        return srv
+
+    def refresh(self) -> bool:
+        """Re-read the LATEST pointer; if a newer generation was
+        published, load it and swap this instance over to it in place
+        (long-lived handles see the new index on their next query).
+        Returns True iff a reload happened.
+
+        The decode memo and the LRU result cache are dropped on swap —
+        cached answers from the old generation must not serve — while
+        the hit/miss counters stay cumulative across generations.
+        Swap discipline: call from the serving loop's single control
+        thread (the swap is a plain attribute update, not a lock)."""
+        if self._root is None:
+            raise ValueError(
+                "refresh() needs an index loaded via load_latest(root)"
+            )
+        from search_engine_spark.publish import read_latest
+
+        ptr = read_latest(self._root)
+        if ptr is None or ptr["generation"] == self.generation:
+            return False
+        fresh = ServingIndex.load_latest(self._root, page_rank=self._pr)
+        hits, misses = self.cache_hits, self.cache_misses
+        self.__dict__.update(fresh.__dict__)
+        self.cache_hits, self.cache_misses = hits, misses
+        return True
 
     # -- postings ---------------------------------------------------------
 
