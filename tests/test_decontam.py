@@ -1,0 +1,107 @@
+"""Eval-set decontamination (operators/decontam.py): pure-Python shingle
+oracle, threshold semantics, and the broadcast-join plan shape."""
+
+import pytest
+
+from search_engine_spark.operators.decontam import (
+    contamination_stats,
+    decontaminate,
+    eval_shingles,
+)
+
+TRAIN = [
+    # (doc_id, text)
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),          # clean
+    (2, "sphinx of black quartz judge my vow today"),
+    (3, "quick brown fox ran away"),                          # 1 shared 3-gram
+    (4, "aa bb"),                                             # shorter than n
+    (5, "the quick brown fox jumps high"),                    # 3 shared
+]
+EVAL = [
+    (100, "one quick brown fox jumps over fences"),
+    (101, "sphinx of black quartz judge my vow"),
+]
+
+
+def _shingles(text: str, n: int) -> set:
+    toks = text.split(" ")
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    } if len(toks) >= n else set()
+
+
+def _oracle(train, ev, n):
+    ev_sh = set().union(*(_shingles(t, n) for _, t in ev))
+    out = {}
+    for did, t in train:
+        hits = len(_shingles(t, n) & ev_sh)
+        if hits:
+            out[did] = hits
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    return tr, ev
+
+
+def test_contamination_stats_matches_oracle(frames):
+    tr, ev = frames
+    for n in (3, 4):
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in contamination_stats(tr, ev, n=n).collect()
+        }
+        assert got == _oracle(TRAIN, EVAL, n), n
+
+
+def test_short_doc_never_contaminated(frames):
+    tr, ev = frames
+    got = {r["doc_id"] for r in contamination_stats(tr, ev, n=3).collect()}
+    assert 4 not in got  # 2 tokens < n=3: no shingles, no contamination
+
+
+def test_decontaminate_removes_hits_only(frames):
+    tr, ev = frames
+    oracle = _oracle(TRAIN, EVAL, 3)
+    kept = {r["doc_id"] for r in decontaminate(tr, ev, n=3).collect()}
+    assert kept == {d for d, _ in TRAIN} - set(oracle)
+
+
+def test_min_hits_threshold(frames):
+    tr, ev = frames
+    oracle = _oracle(TRAIN, EVAL, 3)
+    thresh = 2
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(tr, ev, n=3, min_hits=thresh).collect()
+    }
+    assert kept == {
+        d for d, _ in TRAIN if oracle.get(d, 0) < thresh
+    }
+    with pytest.raises(ValueError):
+        decontaminate(tr, ev, min_hits=0)
+
+
+def test_eval_side_is_broadcast(frames):
+    """The training corpus must not shuffle against the eval set: the
+    eval shingles ride a broadcast exchange."""
+    tr, ev = frames
+    plan = (
+        contamination_stats(tr, ev, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_eval_shingles_distinct(frames, spark):
+    _, ev = frames
+    rows = [r["shingle"] for r in eval_shingles(ev, n=3).collect()]
+    assert len(rows) == len(set(rows))
+    exp = set().union(*(_shingles(t, 3) for _, t in EVAL))
+    assert set(rows) == exp
