@@ -8,8 +8,15 @@ Deployment mode per the north rule::
     spark-submit --py-files "$ZIP" jobs/build_index_job.py \\
         --input  /path/to/corpus_parquet_or_iceberg \\
         --output /path/to/index \\
-        [--resumable] [--text-col content] [--doc-id-col doc_id] \\
+        [--resumable] [--publish] [--text-col content] [--doc-id-col doc_id] \\
         [--docs-per-shard 65536] [--shards-per-batch 64] [--no-stem]
+
+With --publish, --output is a publish ROOT (publish.py): the index is
+written as an immutable gen=K snapshot and the LATEST pointer flips
+atomically, so live readers (ServingIndex.load_latest / refresh) are
+never exposed to a partial overwrite. Resumable mode keeps its
+checkpoint workspace at <output>/_build across resumes and publishes
+on finalize.
 
 On a cluster, --input may be an Iceberg table ref (catalog.db.tbl) —
 pass --iceberg to read via the table catalog instead of parquet paths.
@@ -30,6 +37,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--iceberg", action="store_true")
     ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--publish", action="store_true")
     ap.add_argument("--text-col", default="content")
     ap.add_argument("--doc-id-col", default="doc_id")
     ap.add_argument("--docs-per-shard", type=int, default=None)
@@ -67,9 +75,16 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if args.resumable:
+        import os
+
+        work = (
+            os.path.join(args.output, "_build")
+            if args.publish
+            else args.output
+        )
         b = ResumableIndexBuild(
             docs,
-            args.output,
+            work,
             cfg=cfg,
             text_col=args.text_col,
             doc_id_col=args.doc_id_col,
@@ -84,6 +99,15 @@ def main() -> None:
         }
         if idx is not None:
             report.update(n_docs=idx.n_docs, avgdl=round(idx.avgdl, 3))
+            if args.publish:
+                from search_engine_spark.operators.index_build import Index
+                from search_engine_spark.publish import publish_index
+
+                # re-read the finalized layout so the snapshot is a
+                # cheap file-level rewrite, not a plan recompute
+                report["generation"] = publish_index(
+                    Index.load(spark, work), args.output
+                )
     else:
         idx = build_index(
             docs,
@@ -91,12 +115,16 @@ def main() -> None:
             doc_id_col=args.doc_id_col,
             cfg=cfg,
         )
-        idx.save(args.output)
-        report = {
-            "mode": "oneshot",
-            "n_docs": idx.n_docs,
-            "avgdl": round(idx.avgdl, 3),
-        }
+        if args.publish:
+            from search_engine_spark.publish import publish_index
+
+            report = {"mode": "oneshot", "generation": publish_index(
+                idx, args.output
+            )}
+        else:
+            idx.save(args.output)
+            report = {"mode": "oneshot"}
+        report.update(n_docs=idx.n_docs, avgdl=round(idx.avgdl, 3))
     wall = time.perf_counter() - t0
     report["wall_sec"] = round(wall, 3)
     if report.get("n_docs"):

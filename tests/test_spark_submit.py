@@ -124,3 +124,102 @@ def test_stream_ingest_via_spark_submit(corpus_path, tmp_path):
     rep2 = json.loads(stdout2.strip().splitlines()[-1])
     assert rep2["batches_total"] == rep["batches_total"]
     assert rep2["n_docs"] == 120
+
+
+def test_publish_flow_via_spark_submit(corpus_path, tmp_path):
+    """--publish: two builds into the same root produce gen=0 then
+    gen=1 with the LATEST pointer following, and the serving tier
+    loads the published generation without Spark."""
+    root = str(tmp_path / "pubroot")
+    rep0 = json.loads(
+        [
+            l
+            for l in _submit(
+                "build_index_job.py",
+                "--input", corpus_path,
+                "--output", root,
+                "--publish", "--no-stem", "--no-stopwords",
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep0["generation"] == 0 and rep0["n_docs"] == 120
+
+    from search_engine_spark.publish import read_latest
+    from search_engine_spark.serving import ServingIndex
+
+    assert read_latest(root)["generation"] == 0
+    srv = ServingIndex.load_latest(root)
+    assert srv.generation == 0
+    assert srv.search("banana recipe", k=3)
+
+    rep1 = json.loads(
+        [
+            l
+            for l in _submit(
+                "build_index_job.py",
+                "--input", corpus_path,
+                "--output", root,
+                "--publish", "--no-stem", "--no-stopwords",
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep1["generation"] == 1
+    assert srv.refresh() is True and srv.generation == 1
+
+    # resumable mode keeps its workspace at <root>/_build and publishes
+    # the finalized layout as the next generation
+    rep2 = json.loads(
+        [
+            l
+            for l in _submit(
+                "build_index_job.py",
+                "--input", corpus_path,
+                "--output", root,
+                "--publish", "--resumable",
+                "--shards-per-batch", "2",
+                "--no-stem", "--no-stopwords",
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep2["finalized"] and rep2["generation"] == 2
+    assert srv.refresh() is True and srv.generation == 2
+    assert srv.n_docs == 120
+
+
+def test_decontam_via_spark_submit(spark, corpus_path, tmp_path):
+    """Filter mode drops exactly the docs the in-process operator
+    flags at the same (n, min_hits)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.decontam import decontaminate
+
+    ev_path = str(tmp_path / "eval.parquet")
+    docs = spark.read.parquet(corpus_path)
+    docs.where(F.col("doc_id") % 13 == 0).write.parquet(ev_path)
+    out = str(tmp_path / "clean.parquet")
+    rep = json.loads(
+        [
+            l
+            for l in _submit(
+                "decontam_job.py",
+                "--train", corpus_path,
+                "--eval", ev_path,
+                "--output", out,
+                "--n", "3",
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep["train_docs"] == 120
+    assert rep["kept_docs"] + rep["dropped_docs"] == 120
+    exp = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, spark.read.parquet(ev_path), text_col="content", n=3
+        ).collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == exp
