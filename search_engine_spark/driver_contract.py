@@ -589,34 +589,28 @@ SQL_SEARCH_BATCHED = _sql_search_batched()
 
 
 def q_bm25_paged(spark, sf_dir):
-    """R5 pagination (ref BackendManager.java:331-356): page 1 of size 5
-    over the full ranked candidate set — rows [5, 10)."""
+    """R5 pagination + Q13 total count (ref BackendManager.java:96-119,
+    331-356): page 1 of size 5 over the full ranked candidate set —
+    rows [5, 10) — with the reference's SearchResponse total (the
+    ranked-candidate count) riding on every row. One gate entry covers
+    both because the reference returns them in one response; the
+    standalone ``total_count`` API (incl. boolean queries) is pinned by
+    tests/test_urls_cache.py::test_total_count_and_metadata."""
     from search_engine_spark.operators.query import search_paged
 
     idx = get_index(spark, sf_dir)
-    page_df, _total = search_paged(idx, " ".join(BM25_TERMS), page=1, size=5)
-    return page_df.select("doc_id", F.round("score", 5).alias("score"))
+    page_df, total = search_paged(idx, " ".join(BM25_TERMS), page=1, size=5)
+    return page_df.select(
+        "doc_id",
+        F.round("score", 5).alias("score"),
+        F.lit(total).cast("long").alias("total"),
+    )
 
 
 SQL_BM25_PAGED = _score_sql(BM25_TERMS) + f"""
-SELECT doc_id, round({W_REL} * rel, 5) AS score
+SELECT doc_id, round({W_REL} * rel, 5) AS score,
+       (SELECT count(*) FROM scored)::BIGINT AS total
 FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 5 OFFSET 5
-"""
-
-
-def q_total_count(spark, sf_dir):
-    """Q13 (ref BackendManager.java:96-119): COUNT(DISTINCT doc_id) of
-    the query's candidate set, as a 1-row DataFrame."""
-    from search_engine_spark.operators.query import total_count
-
-    idx = get_index(spark, sf_dir)
-    n = total_count(idx, "scan OR batch")
-    return spark.createDataFrame([(n,)], "total long")
-
-
-SQL_TOTAL_COUNT = TOK_CTE + """
-SELECT count(DISTINCT doc_id)::BIGINT AS total
-FROM tf WHERE term IN ('scan', 'batch')
 """
 
 
@@ -1599,7 +1593,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_batched": q_search_batched,
     "search_batch_dist": q_search_batch_dist,
     "bm25_paged": q_bm25_paged,
-    "total_count": q_total_count,
     "doc_metadata": q_doc_metadata,
     "extract_links": q_extract_links,
     "suggest_prefix": q_suggest_prefix,
@@ -1663,7 +1656,6 @@ ORACLE_SQL: dict[str, str] = {
     "search_batched": SQL_SEARCH_BATCHED,
     "search_batch_dist": SQL_SEARCH_BATCHED,
     "bm25_paged": SQL_BM25_PAGED,
-    "total_count": SQL_TOTAL_COUNT,
     "doc_metadata": SQL_DOC_METADATA,
     "extract_links": SQL_EXTRACT_LINKS,
     "suggest_prefix": SQL_SUGGEST_PREFIX,
