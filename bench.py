@@ -204,6 +204,94 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
         timings["ann_cosine"] = round(time.perf_counter() - t0, 4)
 
+        # approximate ANN paths: per-query latency timed on the vec-0
+        # query; recall measured vs brute force AVERAGED over 5 query
+        # vectors (single-query recall at k=10 is tail-luck-dominated —
+        # the per-plane sign agreement matches the Goemans-Williamson
+        # expectation to 3 decimals on this corpus, but 10 neighbors x
+        # 6 planes is a tiny sample). LSH probes hamming radius 2
+        # (22/64 buckets); IVF probes 2 of 8 clusters.
+        from search_engine_spark.operators.similarity import (
+            ivf_assign,
+            ivf_topk,
+            kmeans_centroids,
+            lsh_topk,
+        )
+
+        t0 = time.perf_counter()
+        lsh_topk(
+            emb,
+            qvec,
+            dim=len(qvec),
+            k=10,
+            n_planes=6,
+            probe_radius=2,
+            exclude_ids=[0],
+        ).collect()
+        timings["lsh_ann"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
+        assigned = ivf_assign(emb, cents).persist()
+        assigned.count()
+        timings["ivf_train"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        ivf_topk(
+            assigned, cents, qvec, k=10, n_probe=2, exclude_ids=[0]
+        ).collect()
+        timings["ivf_ann"] = round(time.perf_counter() - t0, 4)
+
+        recall_q = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < 5).collect()
+        ]
+        lsh_hits = ivf_hits = exact_n = 0
+        for vid, qv in recall_q:
+            ex = {
+                r["vec_id"]
+                for r in cosine_topk(
+                    emb, qv, k=10, exclude_ids=[vid]
+                ).collect()
+            }
+            lsh = {
+                r["vec_id"]
+                for r in lsh_topk(
+                    emb,
+                    qv,
+                    dim=len(qv),
+                    k=10,
+                    n_planes=6,
+                    probe_radius=2,
+                    exclude_ids=[vid],
+                ).collect()
+            }
+            ivf = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    assigned, cents, qv, k=10, n_probe=2, exclude_ids=[vid]
+                ).collect()
+            }
+            exact_n += len(ex)
+            lsh_hits += len(lsh & ex)
+            ivf_hits += len(ivf & ex)
+        assigned.unpersist()
+        recall_lsh = lsh_hits / max(exact_n, 1)
+        recall_ivf = ivf_hits / max(exact_n, 1)
+
+        # training-pipeline ops (round 3): eval-set decontamination and
+        # LM sequence packing over the documents table
+        from search_engine_spark.operators.decontam import decontaminate
+        from search_engine_spark.operators.textstats import pack_sequences
+
+        ev = docs.where(F.col("doc_id") % 41 == 0)
+        t0 = time.perf_counter()
+        decontaminate(docs, ev, text_col="text", n=13).count()
+        timings["decontam"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        pack_sequences(docs, budget=2048, text_col="text").count()
+        timings["pack_sequences"] = round(time.perf_counter() - t0, 4)
+
         qs = sorted(q_times)
         return {
             "cores": cores,
@@ -216,6 +304,8 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             "query_batch100_per_query": round(batch100_sec / 100, 4),
             "serving_warm_ms": round(serving_warm_ms, 3),
             "serving_cached_ms": round(serving_cached_ms, 4),
+            "ann_recall_lsh": round(recall_lsh, 3),
+            "ann_recall_ivf": round(recall_ivf, 3),
             "timings": timings,
         }
     finally:
@@ -374,6 +464,8 @@ def main() -> None:
         "query_batch100_per_query_sec": r["query_batch100_per_query"],
         "serving_warm_ms": r["serving_warm_ms"],
         "serving_cached_ms": r["serving_cached_ms"],
+        "ann_recall_lsh": r["ann_recall_lsh"],
+        "ann_recall_ivf": r["ann_recall_ivf"],
     }
     scaling = _scaling_summary()
     if scaling:

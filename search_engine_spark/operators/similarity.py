@@ -200,11 +200,11 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Deterministic Lloyd iterations over DataFrame ops: assignment is a
-    JVM argmin over broadcast centroids; the update is one
-    posexplode+groupBy mean. Centroids (n_centroids × dim doubles) live
-    on the driver — at 100 TB the train set is a sample, the loop shape
-    is identical.
+    """Deterministic Lloyd iterations over DataFrame ops: assignment is
+    one Arrow UDF argmin against the closure-captured centroid matrix;
+    the update is one posexplode+groupBy mean. Centroids (n_centroids ×
+    dim doubles) live on the driver — at 100 TB the train set is a
+    sample, the loop shape is identical.
 
     Init: the ``n_centroids`` rows with the smallest crc32(id) — a
     deterministic hash-sample that plans as TakeOrderedAndProject
@@ -249,21 +249,37 @@ def _init_sample(base: DataFrame, n: int) -> DataFrame:
 def _assign_clusters(
     df: DataFrame, cents: list[list[float]], vec_col: str
 ) -> DataFrame:
-    """cluster = argmin_c ||v - c||² as pure column algebra:
-    ||v-c||² = ||v||² - 2·v·c + ||c||², and ||v||² is common to all
-    clusters, so argmin over (||c||² - 2·v·c) suffices."""
-    v = F.col(vec_col)
-    best_id, best_val = F.lit(0), None
-    for i, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        score = F.lit(sum(x * x for x in c)) - 2.0 * _dot(v, carr)
-        if best_val is None:
-            best_val = score
-        else:
-            cond = score < best_val
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_val = F.when(cond, score).otherwise(best_val)
-    return df.withColumn("cluster", best_id)
+    """cluster = argmin_c ||v - c||²; since ||v||² is common to all
+    clusters, argmin over (||c||² - 2·v·c) suffices. One Arrow UDF with
+    a closure-captured (k × dim) numpy centroid matrix — same fix as the
+    LSH plane matrix: the previous literal when-chain EMBEDDED the
+    running best twice per step (once in the comparison, once in the
+    otherwise branch), an O(2^k · dim)-node Catalyst tree that took ~7 s
+    to plan per job at k=8, dim=768. Ties keep the lowest cluster index
+    (np.argmin first-occurrence == the old strict-< chain); NULL/ragged
+    vectors get cluster 0 (the old chain's NULL-comparison fallthrough)."""
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    dim = C.shape[1]
+    scores_const = (C * C).sum(axis=1)  # ||c||² per centroid, (k,)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int32)
+        valid_idx, valid_rows = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if arr.shape == (dim,):
+                valid_idx.append(i)
+                valid_rows.append(arr)
+        if valid_rows:
+            M = np.stack(valid_rows)  # (n, dim)
+            d2 = scores_const - 2.0 * (M @ C.T)  # (n, k)
+            out[valid_idx] = np.argmin(d2, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn("cluster", assign(F.col(vec_col)))
 
 
 def ivf_assign(

@@ -80,6 +80,12 @@ class ServingIndex:
         self.cfg = cfg
         self._pr = page_rank or {}
         self._decoded: dict[str, tuple] = {}
+        # reference parity (QueryIndex.java:112,199-210,332): phrase
+        # components are cached separately and UNBOUNDED, independent of
+        # the 1000-entry LRU result cache — the reference's warm phrase
+        # regime never re-runs the gap-3 position scan. Dropped on
+        # refresh() along with the decode memo (generation swap).
+        self._phrase_cache: dict[str, dict] = {}
         self._cache: OrderedDict = OrderedDict()
         self._cache_size = cache_size
         self.cache_hits = 0
@@ -220,9 +226,13 @@ class ServingIndex:
         (phrase components doc-filtered by the gap-3 matcher)."""
         do_stem = self.cfg.stem
         if is_phrase(part):
+            hit = self._phrase_cache.get(part)
+            if hit is not None:
+                return hit
             stems = query_stems(strip_phrase(part), do_stem)
             uniq = list(dict.fromkeys(stems))
             if not uniq:
+                self._phrase_cache[part] = {}
                 return {}
             per = {s: self._postings(s) for s in uniq}
             cand = per[uniq[0]][0]
@@ -244,6 +254,7 @@ class ServingIndex:
                 ids, bm, tfn, _ = per[s]
                 m = np.isin(ids, okset, assume_unique=True)
                 out[s] = (ids[m], bm[m], tfn[m])
+            self._phrase_cache[part] = out
             return out
         stems = list(dict.fromkeys(query_stems(part, do_stem)))
         out = {}

@@ -53,6 +53,8 @@ def test_refresh_swaps_to_new_generation(root, spark):
 
     before = srv.cached_search("banana recipe", k=10)
     assert srv.cached_search("banana recipe", k=10) == before  # cache hit
+    srv.search('"banana recipe"', k=10)
+    assert srv._phrase_cache  # phrase component cached (gen 0)
     hits = srv.cache_hits
 
     g1 = publish_index(idx_b, d)
@@ -60,8 +62,10 @@ def test_refresh_swaps_to_new_generation(root, spark):
     assert srv.refresh() is True
     assert srv.generation == 1
     assert srv.n_docs == idx_b.n_docs
-    # counters survive the swap; the result cache does not
+    # counters survive the swap; the result and phrase caches do not —
+    # gen-0 phrase candidates must not answer gen-1 queries
     assert srv.cache_hits == hits
+    assert srv._phrase_cache == {}
     after = srv.cached_search("banana recipe", k=10)
     exp = [
         (r["doc_id"], r["score"])

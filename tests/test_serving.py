@@ -108,6 +108,27 @@ def test_serving_latency_and_cache(saved):
     assert srv.cache_hits >= len(QUERY_SET)
 
 
+def test_serving_phrase_component_cache(saved, monkeypatch):
+    """Reference parity (QueryIndex.java:112,199-210,332): phrase
+    components are cached unbounded, separate from the LRU — a warm
+    phrase query never re-runs the gap-3 position scan."""
+    import search_engine_spark.serving as serving_mod
+
+    d, _idx, _docs = saved
+    srv = ServingIndex.load(d)
+    q = '"banana recipe"'
+    first = srv.search(q, k=10)
+    assert srv._phrase_cache  # populated by the first evaluation
+
+    def boom(*_a, **_k):  # pragma: no cover - should never run
+        raise AssertionError("phrase matcher re-ran on a cached phrase")
+
+    monkeypatch.setattr(serving_mod, "phrase_match", boom)
+    assert srv.search(q, k=10) == first
+    # boolean queries embedding the same phrase component hit it too
+    srv.search('spark OR "banana recipe"', k=10)
+
+
 def test_serving_lru_eviction(saved):
     d, _idx, _docs = saved
     srv = ServingIndex.load(d)
