@@ -510,6 +510,22 @@ def search_many(
     )
     if not queries:
         return spark.createDataFrame([], result_schema)
+    if (
+        len(queries) > index.cfg.batch_dispatch_threshold
+        and len(set(queries)) == len(queries)
+    ):
+        # cost-based dispatch (mirrors the WAND single-term dispatch):
+        # past the threshold the union plan's O(N) Catalyst branches and
+        # single driver collect lose to the one-plan queries-as-data
+        # path. Guarded on distinct queries only — ``search_batch``
+        # dedups, while this path evaluates duplicates per-occurrence.
+        # The final sort restores this function's per-query rank order
+        # over ≤ N·k already-materialized rows (overall query order is
+        # lexicographic here vs input-order on the union path; callers
+        # key on the ``query`` column).
+        return search_batch(
+            index, queries, k=k, mode=mode, page_rank=page_rank
+        ).orderBy("query", F.desc("score"), F.asc("doc_id"))
     all_stems: list[str] = []
     for q in queries:
         all_stems.extend(query_terms_needed(index, q))

@@ -248,6 +248,46 @@ def test_search_batch_matches_search_many(spark_index):
             assert rows == exp, (mode, q)
 
 
+def test_search_many_dispatches_to_batch(spark_index):
+    """Past ``batch_dispatch_threshold`` distinct queries, search_many
+    must route to the one-plan distributed batch path and still return
+    per-query rank-sorted rows identical to the union path."""
+    from unittest.mock import patch
+
+    from search_engine_spark.operators import query as qmod
+
+    # > threshold distinct queries (threshold=32 default): mix shapes
+    base = [
+        "banana recipe", "banana AND recipe", "banana OR recipe",
+        "banana NOT recipe", '"banana recipe"', "spark", "the banana",
+    ]
+    queries = base + [f"banana zzfill{i}" for i in range(30)]
+    assert len(set(queries)) == len(queries) > 32
+
+    with patch.object(
+        qmod, "search_batch", wraps=qmod.search_batch
+    ) as spy:
+        got_rows = qmod.search_many(spark_index, queries, k=10).collect()
+        assert spy.call_count == 1
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.query, []).append((r.doc_id, round(r.score, 9)))
+    # duplicate queries (or N <= threshold) keep the union path
+    with patch.object(
+        qmod, "search_batch", wraps=qmod.search_batch
+    ) as spy:
+        exp_rows = qmod.search_many(
+            spark_index, base, k=10
+        ).collect()
+        assert spy.call_count == 0
+    exp = {}
+    for r in exp_rows:
+        exp.setdefault(r.query, []).append((r.doc_id, round(r.score, 9)))
+    for q in base:
+        # dispatched rows must already be rank-sorted per query
+        assert got.get(q, []) == exp.get(q, []), q
+
+
 def test_search_batch_with_pagerank(spark_index, spark):
     from pyspark.sql import functions as F
 
