@@ -1,0 +1,172 @@
+"""Incremental index maintenance (operators/merge.py): LSM upsert merge
+and delete compaction must be VALUE-IDENTICAL to a from-scratch rebuild
+of the equivalent corpus — the equality contract that makes "build a
+delta, merge it in" safe at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.merge import (
+    delete_docs,
+    flat_postings,
+    merge_indexes,
+)
+from search_engine_spark.operators.query import search
+from search_engine_spark.sources.corpus import generate_corpus
+
+from tests.conftest import TEST_CFG
+
+QUERIES = ["banana recipe", "banana AND recipe", '"banana recipe"', "spark"]
+
+
+def _index_signature(idx):
+    """Order-insensitive value snapshot of a whole index: decoded flat
+    postings (rounded), doc stats, term stats, globals."""
+    flat = sorted(
+        (
+            r.term,
+            r.doc_id,
+            round(r.tf, 6),
+            r.doc_len,
+            tuple(r.positions or []),
+        )
+        for r in flat_postings(idx).collect()
+    )
+    stats = sorted(
+        (r.term, r.df, round(r.idf, 9))
+        for r in idx.term_stats.collect()
+    )
+    dl = sorted((r.doc_id, r.doc_len) for r in idx.doc_stats.collect())
+    return flat, stats, dl, idx.n_docs, round(idx.avgdl, 9)
+
+
+def _topk(idx, q, k=10):
+    return [
+        (r.doc_id, round(r.score, 9))
+        for r in search(idx, q, k=k).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    # 240 docs; A = [0, 160), B = [120, 240) — 40-doc overlap exercises
+    # the upsert path (same generator+seed, so B's copy of a shared doc
+    # equals A's; right-wins must still route through the replace join).
+    full = generate_corpus(spark, n_docs=240, seed=7).cache()
+    a = full.filter(F.col("doc_id") < 160).cache()
+    b = full.filter(F.col("doc_id") >= 120).cache()
+    return full, a, b
+
+
+@pytest.mark.parametrize("store_arrays", [True, False])
+def test_merge_equals_rebuild(spark, split_corpus, store_arrays):
+    full, a, b = split_corpus
+    cfg = EngineConfig(
+        docs_per_shard=64, block_size=16, store_arrays=store_arrays
+    )
+    merged = merge_indexes(build_index(a, cfg=cfg), build_index(b, cfg=cfg))
+    rebuilt = build_index(full, cfg=cfg)
+    assert _index_signature(merged) == _index_signature(rebuilt)
+    for q in QUERIES:
+        assert _topk(merged, q) == _topk(rebuilt, q), q
+
+
+def test_merge_right_wins_on_conflict(spark, split_corpus):
+    full, a, b = split_corpus
+    # Mutate B's copy of the overlap docs: append a token so the winner
+    # is observable in the merged postings.
+    b_mut = b.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") < 160,
+            F.concat(F.col("content"), F.lit(" zzzmarker")),
+        ).otherwise(F.col("content")),
+    )
+    merged = merge_indexes(
+        build_index(a, cfg=TEST_CFG), build_index(b_mut, cfg=TEST_CFG)
+    )
+    expected_src = a.filter(F.col("doc_id") < 120).unionByName(b_mut)
+    rebuilt = build_index(expected_src, cfg=TEST_CFG)
+    assert _index_signature(merged) == _index_signature(rebuilt)
+    # the marker term's postings must be exactly B's overlap docs
+    marker_docs = sorted(
+        r.doc_id
+        for r in flat_postings(merged)
+        .filter(F.col("term") == "zzzmarker")
+        .collect()
+    )
+    assert marker_docs == list(range(120, 160))
+
+
+def test_merge_on_conflict_error(spark, split_corpus):
+    _, a, b = split_corpus
+    ia, ib = build_index(a, cfg=TEST_CFG), build_index(b, cfg=TEST_CFG)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(ia, ib, on_conflict="error")
+    # disjoint split passes
+    merged = merge_indexes(
+        build_index(a.filter(F.col("doc_id") < 120), cfg=TEST_CFG),
+        ib,
+        on_conflict="error",
+    )
+    assert merged.n_docs == 240
+
+
+def test_merge_rejects_incompatible_cfg(spark, split_corpus):
+    _, a, b = split_corpus
+    ia = build_index(a, cfg=TEST_CFG)
+    ib = build_index(
+        b, cfg=EngineConfig(docs_per_shard=64, block_size=16, stem=False)
+    )
+    with pytest.raises(ValueError, match="stem"):
+        merge_indexes(ia, ib)
+
+
+@pytest.mark.parametrize("store_arrays", [True, False])
+def test_delete_equals_rebuild(spark, split_corpus, store_arrays):
+    full, a, _ = split_corpus
+    cfg = EngineConfig(
+        docs_per_shard=64, block_size=16, store_arrays=store_arrays
+    )
+    idx = build_index(full, cfg=cfg)
+    pruned = delete_docs(idx, range(160, 240))
+    rebuilt = build_index(a, cfg=cfg)
+    assert _index_signature(pruned) == _index_signature(rebuilt)
+    for q in QUERIES:
+        assert _topk(pruned, q) == _topk(rebuilt, q), q
+
+
+def test_delete_accepts_dataframe(spark, split_corpus):
+    full, a, _ = split_corpus
+    idx = build_index(full, cfg=TEST_CFG)
+    ids = full.filter(F.col("doc_id") >= 160).select("doc_id")
+    pruned = delete_docs(idx, ids)
+    assert pruned.n_docs == 160
+    assert _topk(pruned, "banana recipe") == _topk(
+        build_index(a, cfg=TEST_CFG), "banana recipe"
+    )
+
+
+def test_merged_index_wand_and_save_roundtrip(spark, split_corpus, tmp_path):
+    """A merged index must behave like any built index downstream:
+    WAND search ranks identically to exhaustive, and save/load
+    roundtrips."""
+    from search_engine_spark.operators.index_build import Index
+    from search_engine_spark.operators.wand import search_wand
+
+    full, a, b = split_corpus
+    merged = merge_indexes(
+        build_index(a, cfg=TEST_CFG), build_index(b, cfg=TEST_CFG)
+    )
+    q = "banana recipe"
+    assert [
+        (r.doc_id, round(r.score, 6))
+        for r in search_wand(merged, q, k=10).collect()
+    ] == [(d, round(s, 6)) for d, s in _topk(merged, q)]
+
+    path = str(tmp_path / "merged_idx")
+    merged.save(path)
+    loaded = Index.load(spark, path)
+    assert _topk(loaded, q) == _topk(merged, q)

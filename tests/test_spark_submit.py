@@ -189,6 +189,91 @@ def test_publish_flow_via_spark_submit(corpus_path, tmp_path):
     assert srv.n_docs == 120
 
 
+def test_merge_via_spark_submit(spark, corpus_path, tmp_path):
+    """Delta-merge flow: build main over part of the corpus, merge a
+    delta built in-job from the remaining docs' parquet, and verify the
+    merged index answers queries identically to a from-scratch build
+    over the full corpus. Then compact the delta back out with
+    --delete-ids and check it equals the main build."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.query import search
+
+    cfg = EngineConfig(stem=False, remove_stopwords=False)
+    docs = spark.read.parquet(corpus_path).cache()
+    main_docs_p = str(tmp_path / "main_docs.parquet")
+    delta_docs_p = str(tmp_path / "delta_docs.parquet")
+    docs.where(F.col("doc_id") < 80).write.parquet(main_docs_p)
+    docs.where(F.col("doc_id") >= 80).write.parquet(delta_docs_p)
+
+    main_idx = str(tmp_path / "main_idx")
+    _submit(
+        "build_index_job.py",
+        "--input", main_docs_p,
+        "--output", main_idx,
+        "--no-stem", "--no-stopwords",
+    )
+    merged_out = str(tmp_path / "merged_idx")
+    rep = json.loads(
+        [
+            l
+            for l in _submit(
+                "merge_index_job.py",
+                "--main", main_idx,
+                "--delta-docs", delta_docs_p,
+                "--output", merged_out,
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep["main_n_docs"] == 80
+    assert rep["delta_n_docs"] == 40
+    assert rep["n_docs"] == 120
+
+    merged = Index.load(spark, merged_out)
+    rebuilt = build_index(docs, cfg=cfg)
+    for q in ("banana recipe", "banana AND recipe"):
+        assert [
+            (r.doc_id, round(r.score, 9))
+            for r in search(merged, q, k=10).collect()
+        ] == [
+            (r.doc_id, round(r.score, 9))
+            for r in search(rebuilt, q, k=10).collect()
+        ], q
+
+    # compaction: delete the delta ids again == the main build
+    del_ids_p = str(tmp_path / "del_ids.parquet")
+    docs.where(F.col("doc_id") >= 80).select("doc_id").write.parquet(
+        del_ids_p
+    )
+    compacted_out = str(tmp_path / "compacted_idx")
+    rep2 = json.loads(
+        [
+            l
+            for l in _submit(
+                "merge_index_job.py",
+                "--main", merged_out,
+                "--delete-ids", del_ids_p,
+                "--output", compacted_out,
+            ).splitlines()
+            if l.startswith("{")
+        ][-1]
+    )
+    assert rep2["n_docs"] == 80 and rep2["delete_ids"] == 40
+    compacted = Index.load(spark, compacted_out)
+    main_only = Index.load(spark, main_idx)
+    q = "banana recipe"
+    assert [
+        (r.doc_id, round(r.score, 9))
+        for r in search(compacted, q, k=10).collect()
+    ] == [
+        (r.doc_id, round(r.score, 9))
+        for r in search(main_only, q, k=10).collect()
+    ]
+
+
 def test_decontam_via_spark_submit(spark, corpus_path, tmp_path):
     """Filter mode drops exactly the docs the in-process operator
     flags at the same (n, min_hits)."""
