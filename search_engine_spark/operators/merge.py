@@ -2,10 +2,11 @@
 
 Web-scale indexes are never rebuilt from scratch on every crawl: the
 reference engine re-runs its indexer over the crawled store
-(SE/Indexer/Indexer.java drives batch re-index passes); the at-scale
-equivalent is the log-structured pattern every production engine uses —
-build a small DELTA index from the new/updated documents, then merge it
-into the main index without touching the raw text again:
+(SE/Indexer/Indexer.java drives batch re-index passes, upserting per
+doc via SE/Indexer/DBManager.java); the at-scale equivalent is the
+log-structured pattern every production engine uses — build a small
+DELTA index from the new/updated documents, then merge it into the
+main index without touching the raw text again:
 
     delta = build_index(new_docs)            # tokenizes only the delta
     main  = merge_indexes(main, delta)       # no retokenization
@@ -14,43 +15,41 @@ into the main index without touching the raw text again:
 right/delta side's postings — a recrawled page replaces its old copy);
 ``delete_docs`` is the matching compaction for removed documents.
 
-Why a merge must re-score (and why that is still cheap): BM25 weights
-are denormalized into the posting lists (the reference stores final
-per-term scores the same way — SURVEY.md §2.3), and bm25_tf depends on
-the corpus-wide ``avgdl``/``N`` which change whenever the corpus does.
-So the merge decodes both sides to flat (doc_id, term, tf, positions)
-rows — tf and positions are corpus-independent — recomputes the global
-stats, and re-runs the exact assembly stage of ``build_index``
-(``merge_postings``: the one wide exchange + JVM array build + codec).
-What it NEVER re-runs is tokenization/stemming — the dominant cost of a
-full rebuild (the 2M-doc study spends >80% of build wall time ahead of
-the groupBy) — and the delta side's raw text is never read at all.
+Why a merge must re-SCORE everything (and why that is still cheap):
+BM25 weights are denormalized into the posting lists (the reference
+stores final per-term scores the same way — SURVEY.md §2.3), and
+bm25_tf depends on the corpus-wide ``avgdl``/``N`` which change
+whenever the corpus does. But re-scoring is NOT re-grouping: a posting
+row's membership — which (term, shard) row a posting lives in, its
+doc ids, tfs, positions — only changes in shards that actually gained
+or lost documents. The doc-id-range sharding (``shard = doc_id //
+docs_per_shard``) makes the touched-shard set directly computable from
+the delta/delete doc ids, so the merge splits into:
 
-Scale shape:
-  * arrays profile: the flat decode is a narrow explode; ``doc_len`` is
-    recovered per-posting as ``round(tf / tf_norm)`` (tf_norm was stored
-    as tf/doc_len, so the roundtrip is exact after integer rounding) —
-    NO join against doc_stats on the token-scale rows.
-  * codec profile (``store_arrays=False``): an Arrow decode over only
-    ``doc_ids_enc``/``tf_enc``/``pos_enc`` (bm25 binaries are pruned
-    from the scan — they are recomputed anyway), then one join to
-    doc_stats for doc_len.
-  * the upsert anti-join streams the main side against the delta's
-    doc-id set (broadcast for the common small-delta case — AQE picks;
-    for the typical daily-delta merge this is a map-side filter).
+  * **dirty shards** (contain added/replaced/deleted docs): decode to
+    flat (doc_id, term, tf, positions) rows, drop replaced docs, union
+    the delta's flat rows, and re-run the exact assembly stage of
+    ``build_index`` (``merge_postings``: groupBy + JVM array build +
+    codec). For a daily delta this is a few shards out of millions.
+  * **clean shards** (everything else): bm25_tf is recomputed IN PLACE
+    with the new ``avgdl``/``N`` — on the arrays profile a fully
+    NARROW map (doc_len is recovered per-posting as round(tf/tf_norm);
+    no shuffle, no explode, ids/tf/positions binaries byte-unchanged);
+    on the codec profile a shard-aligned cogroup with doc_stats (the
+    WAND pattern) that shuffles only the compressed binaries, never
+    per-token rows.
+
+What is never re-run is tokenization/stemming — the dominant cost of a
+full rebuild — and the delta side's raw text is never read at all.
+The result is value-identical to ``build_index`` over the merged
+corpus (pinned by tests/test_merge.py on both storage profiles; on the
+codec profile with a WEIGHTED sectioned analyzer, stored tf is already
+float32 — same contract as the serving tier).
 
 This complements ``index_checkpoint.finalize_from_raw``, which merges
 RAW tokenized batches within one resumable build; ``merge_indexes``
 operates on two already-FINALIZED indexes (e.g. yesterday's published
-index + today's delta).
-
-Relation to the reference: the reference has no explicit merge (it
-re-indexes into SQLite in place, SE/Indexer/DBManager.java upserts per
-doc); this operator reproduces those upsert semantics at Spark scale.
-Equality contract, pinned by tests/test_merge.py:
-``merge_indexes(build(A), build(B))`` is value-identical to
-``build_index(A ⊎ B)`` (right-wins on doc_id), and
-``delete_docs(build(A ∪ B), ids(B))`` to ``build_index(A)``.
+generation + today's delta — see jobs/merge_index_job.py).
 """
 
 from __future__ import annotations
@@ -61,6 +60,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.operators.index_build import (
+    POSTINGS_SCHEMA,
     Index,
     merge_postings,
 )
@@ -81,6 +81,10 @@ _CONTENT_CFG_FIELDS = (
     "block_size",
 )
 
+# past this many dirty shards the per-shard bookkeeping stops paying
+# for itself — regroup everything (the pre-fast-path behavior)
+_MAX_DIRTY_SHARDS = 100_000
+
 
 def _check_compatible(a: EngineConfig, b: EngineConfig) -> None:
     bad = [
@@ -95,17 +99,17 @@ def _check_compatible(a: EngineConfig, b: EngineConfig) -> None:
         )
 
 
-def flat_postings(index: Index) -> DataFrame:
-    """Decode an index back to flat (doc_id, term, tf, positions,
-    doc_len) rows — the corpus-independent posting payload.
+def _flat_rows(postings: DataFrame, store_arrays: bool, doc_stats: DataFrame):
+    """Decode (a subset of) posting rows to flat (doc_id, term, tf,
+    positions, doc_len) — the corpus-independent payload.
 
     Arrays profile: narrow explode, doc_len recovered from tf/tf_norm
     (no join). Codec profile: Arrow decode of the three needed binaries
-    (bm25_tf_enc pruned) + one doc_stats join for doc_len.
-    """
-    if index.cfg.store_arrays:
+    (bm25_tf_enc pruned — it is recomputed, never read) + one
+    doc_stats join for doc_len."""
+    if store_arrays:
         return (
-            index.postings.select("term", F.explode("postings").alias("p"))
+            postings.select("term", F.explode("postings").alias("p"))
             .select(
                 F.col("p.doc_id").alias("doc_id"),
                 "term",
@@ -155,32 +159,280 @@ def flat_postings(index: Index) -> DataFrame:
                 }
             )
 
-    decoded = index.postings.select(
+    decoded = postings.select(
         "term", "doc_ids_enc", "tf_enc", "pos_enc"
     ).mapInPandas(
         decode,
         schema="doc_id long, term string, tf double, "
         "positions array<int>",
     )
-    return decoded.join(
-        index.doc_stats.select("doc_id", "doc_len"), "doc_id"
+    return decoded.join(doc_stats.select("doc_id", "doc_len"), "doc_id")
+
+
+def flat_postings(index: Index) -> DataFrame:
+    """Decode a whole index back to flat (doc_id, term, tf, positions,
+    doc_len) rows."""
+    return _flat_rows(
+        index.postings, index.cfg.store_arrays, index.doc_stats
     )
 
 
-def _reassemble(
-    flat: DataFrame,
+def _bm25_expr(tf, dl, k1: float, b: float, avgdl: float):
+    """EXACTLY build_index's bm25 expression tree — same operation
+    order, so rescored values are bit-identical to a rebuild's."""
+    return (tf * (1.0 + k1)) / (
+        tf + k1 * (1.0 - b + b * dl / F.lit(max(avgdl, 1e-12)))
+    )
+
+
+def _make_bm25_codec_udf(cfg: EngineConfig):
+    """Arrow UDF: (bm25 float64 array) -> (bm25_tf_enc, block_max) with
+    the float32-roundtripped block maxima (same hazard note as
+    index_build._make_codec_udf)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from search_engine_spark.operators import codec
+
+    block = cfg.block_size
+    schema = T.StructType(
+        [
+            T.StructField("bm25_tf_enc", T.BinaryType()),
+            T.StructField("block_max", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def encode(bms: pd.Series) -> pd.DataFrame:
+        enc_l, bmax_l = [], []
+        for i in range(len(bms)):
+            bm = np.asarray(bms.iloc[i], dtype=np.float64)
+            enc = codec.encode_tfs(bm)
+            enc_l.append(enc)
+            bm32 = codec.decode_tfs(enc).astype(np.float64)
+            nb = (bm.size + block - 1) // block
+            bmax_l.append(
+                [
+                    float(bm32[j * block : (j + 1) * block].max())
+                    for j in range(nb)
+                ]
+            )
+        return pd.DataFrame({"bm25_tf_enc": enc_l, "block_max": bmax_l})
+
+    return encode
+
+
+def _rescore_clean_shards(
+    postings: DataFrame,
+    store_arrays: bool,
     doc_stats: DataFrame,
     cfg: EngineConfig,
+    avgdl: float,
+) -> DataFrame:
+    """Recompute bm25_tf (+ its codec binary and WAND block bounds) in
+    place for shards whose membership did not change. ids/tf/positions
+    binaries pass through byte-unchanged."""
+    k1, b = cfg.bm25_k1, cfg.bm25_b
+    enc = _make_bm25_codec_udf(cfg)
+
+    if store_arrays:
+        # fully narrow: doc_len per posting from tf/tf_norm, bm25 via a
+        # JVM transform (same expression tree as build_index), codec
+        # re-encode from the extracted bm25 array. No shuffle.
+        dl = lambda p: F.when(  # noqa: E731
+            p["tf_norm"] > 0, F.round(p["tf"] / p["tf_norm"])
+        ).otherwise(F.lit(0.0))
+        rescored = postings.withColumn(
+            "postings",
+            F.transform(
+                "postings",
+                lambda p: F.struct(
+                    p["doc_id"].alias("doc_id"),
+                    p["tf"].alias("tf"),
+                    p["tf_norm"].alias("tf_norm"),
+                    _bm25_expr(p["tf"], dl(p), k1, b, avgdl).alias(
+                        "bm25_tf"
+                    ),
+                    p["positions"].alias("positions"),
+                ),
+            ),
+        )
+        rescored = rescored.withColumn(
+            "_enc", enc(F.col("postings.bm25_tf"))
+        )
+        return rescored.select(
+            "term",
+            "shard",
+            "n_postings",
+            "min_doc_id",
+            "max_doc_id",
+            F.array_max(F.col("_enc.block_max")).alias("max_bm25_tf"),
+            "postings",
+            "doc_ids_enc",
+            "tf_enc",
+            F.col("_enc.bm25_tf_enc").alias("bm25_tf_enc"),
+            "pos_enc",
+            F.col("_enc.block_max").alias("block_max"),
+        )
+
+    # codec profile: doc_len must come from doc_stats — cogroup on the
+    # aligned shard key (the WAND pattern): shuffles only compressed
+    # binaries + doc-scale stats, never per-token rows. The null
+    # ``postings`` array column and the superseded bm25 binary/bounds
+    # are NOT shipped through the cogroup (pyarrow segfaults converting
+    # an all-null array<struct> column, and they are recomputed/
+    # reattached anyway).
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from search_engine_spark.operators import codec as _codec
+
+    block = cfg.block_size
+    in_cols = [
+        "shard",
+        "term",
+        "n_postings",
+        "min_doc_id",
+        "max_doc_id",
+        "doc_ids_enc",
+        "tf_enc",
+        "pos_enc",
+    ]
+    out_schema = T.StructType(
+        [postings.schema[c] for c in in_cols]
+        + [
+            T.StructField("max_bm25_tf", T.DoubleType()),
+            T.StructField("bm25_tf_enc", T.BinaryType()),
+            T.StructField("block_max", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def rescore(key, pgroup, dgroup):
+        if pgroup.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        d_ids = dgroup["doc_id"].to_numpy(dtype=np.int64)
+        d_len = dgroup["doc_len"].to_numpy(dtype=np.float64)
+        order = np.argsort(d_ids)
+        d_ids, d_len = d_ids[order], d_len[order]
+        enc_l, bmax_l, max_l = [], [], []
+        for r in pgroup.itertuples():
+            ids = _codec.delta_decode_ids(r.doc_ids_enc)
+            tfs = _codec.decode_tfs(r.tf_enc).astype(np.float64)
+            dl = d_len[np.searchsorted(d_ids, ids)]
+            bm = (tfs * (1.0 + k1)) / (
+                tfs + k1 * (1.0 - b + b * dl / max(avgdl, 1e-12))
+            )
+            e = _codec.encode_tfs(bm)
+            enc_l.append(e)
+            bm32 = _codec.decode_tfs(e).astype(np.float64)
+            nb = (bm.size + block - 1) // block
+            bmax = [
+                float(bm32[j * block : (j + 1) * block].max())
+                for j in range(nb)
+            ]
+            bmax_l.append(bmax)
+            max_l.append(max(bmax))
+        out = pgroup.copy()
+        out["bm25_tf_enc"] = enc_l
+        out["block_max"] = bmax_l
+        out["max_bm25_tf"] = max_l
+        return out
+
+    ds = doc_stats.withColumn(
+        "shard", (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast("long")
+    ).select("shard", "doc_id", "doc_len")
+    rescored = (
+        postings.select(in_cols)
+        .groupBy("shard")
+        .cogroup(ds.groupBy("shard"))
+        .applyInPandas(rescore, schema=out_schema)
+    )
+    return rescored.select(
+        "term",
+        "shard",
+        "n_postings",
+        "min_doc_id",
+        "max_doc_id",
+        "max_bm25_tf",
+        F.lit(None)
+        .cast(POSTINGS_SCHEMA["postings"].dataType)
+        .alias("postings"),
+        "doc_ids_enc",
+        "tf_enc",
+        "bm25_tf_enc",
+        "pos_enc",
+        "block_max",
+    )
+
+
+def _shard_of(ids_df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    return ids_df.select(
+        (F.col("doc_id") / F.lit(cfg.docs_per_shard))
+        .cast("long")
+        .alias("shard")
+    ).distinct()
+
+
+def _incremental_rebuild(
+    a: Index,
+    drop_ids: DataFrame,
+    add_flat: DataFrame | None,
+    add_doc_stats: DataFrame | None,
+    cfg: EngineConfig,
     docs: DataFrame | None,
+    force_regroup: bool = False,
 ) -> Index:
-    """The post-tokenize tail of ``build_index``: global stats →
-    per-posting rescore → ``merge_postings`` → term_stats. Expression
-    trees match build_index exactly so a merged index is value-identical
-    to a from-scratch rebuild of the same corpus."""
+    """Shared tail of merge/delete: new doc_stats + globals, dirty-shard
+    split, regroup dirty / rescore clean, term_stats recompute."""
+    doc_stats = a.doc_stats.select("doc_id", "doc_len").join(
+        drop_ids, "doc_id", "left_anti"
+    )
+    if add_doc_stats is not None:
+        doc_stats = doc_stats.unionByName(
+            add_doc_stats.select("doc_id", "doc_len")
+        )
     agg = doc_stats.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    # dirty shard set: shards containing dropped/replaced docs plus the
+    # shards the added docs land in (doc-id-range sharding makes this
+    # exact). Driver-side list — bounded by _MAX_DIRTY_SHARDS.
+    dirty_df = _shard_of(drop_ids, cfg)
+    if add_doc_stats is not None:
+        dirty_df = dirty_df.unionByName(
+            _shard_of(add_doc_stats.select("doc_id"), cfg)
+        ).distinct()
+    dirty = (
+        []
+        if force_regroup
+        else [
+            r.shard
+            for r in dirty_df.limit(_MAX_DIRTY_SHARDS + 1).collect()
+        ]
+    )
+
+    if force_regroup or len(dirty) > _MAX_DIRTY_SHARDS:
+        # massive churn: per-shard bookkeeping stops paying — regroup
+        # the whole index (the exhaustive path)
+        touched_rows = a.postings
+        clean = None
+    else:
+        touched_rows = a.postings.filter(F.col("shard").isin(dirty))
+        clean = _rescore_clean_shards(
+            a.postings.filter(~F.col("shard").isin(dirty)),
+            cfg.store_arrays,
+            a.doc_stats,
+            cfg,
+            avgdl,
+        )
+
+    flat = _flat_rows(
+        touched_rows, a.cfg.store_arrays, a.doc_stats
+    ).join(drop_ids, "doc_id", "left_anti")
+    if add_flat is not None:
+        flat = flat.unionByName(add_flat)
 
     k1, b = cfg.bm25_k1, cfg.bm25_b
     per_term = (
@@ -197,20 +449,24 @@ def _reassemble(
             .otherwise(F.lit(0.0)),
         )
         .withColumn(
-            "bm25_tf",
-            (F.col("tf") * (1.0 + k1))
-            / (
-                F.col("tf")
-                + k1
-                * (1.0 - b + b * F.col("doc_len") / F.lit(max(avgdl, 1e-12)))
-            ),
+            "bm25_tf", _bm25_expr(F.col("tf"), F.col("doc_len"), k1, b, avgdl)
         )
         .withColumn(
             "shard",
             (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast("long"),
         )
     )
-    postings = merge_postings(per_term, cfg)
+    regrouped = merge_postings(per_term, cfg)
+    postings = (
+        regrouped if clean is None else clean.unionByName(regrouped)
+    )
+    # the merged postings feed BOTH term_stats (groupBy below) and
+    # whatever the caller materializes next (save/query) — without a
+    # persist the rescore+regroup plan re-executes per consumer
+    # (measured 3x the merge cost at 500k docs). MEMORY_AND_DISK:
+    # spills, never recomputes.
+    postings = postings.persist()
+
     term_stats = (
         postings.groupBy("term")
         .agg(F.sum("n_postings").alias("df"))
@@ -241,19 +497,23 @@ def merge_indexes(
     means an id-allocation bug upstream).
 
     Output layout follows ``cfg`` (default: ``a.cfg``); content-shaping
-    config fields must agree between the two sides.
+    config fields must agree between the two sides. NOTE: when the
+    output profile keeps arrays/codec from a's CLEAN shards in place,
+    a and the output share ``store_arrays`` via ``cfg`` — pass an
+    explicit cfg only to flip layout, which forces the regroup path.
     """
     _check_compatible(a.cfg, b.cfg)
     if on_conflict not in ("right", "error"):
-        raise ValueError(f"on_conflict must be 'right' or 'error': {on_conflict!r}")
+        raise ValueError(
+            f"on_conflict must be 'right' or 'error': {on_conflict!r}"
+        )
     cfg = cfg or a.cfg
 
     b_ids = b.doc_stats.select("doc_id")
     # the driver knows the delta's exact cardinality — hint the upsert
     # anti-join to broadcast for the common small-delta merge so the
-    # main side is filtered map-side (no shuffle of its token-scale
-    # rows on doc_id). Past ~2M ids (~16 MB of longs) fall back to
-    # Spark's own strategy (AQE may still pick broadcast at runtime).
+    # main side is filtered map-side. Past ~2M ids fall back to Spark's
+    # own strategy (AQE may still pick broadcast at runtime).
     if b.n_docs <= 2_000_000:
         b_ids = F.broadcast(b_ids)
     if on_conflict == "error":
@@ -263,14 +523,6 @@ def merge_indexes(
                 f"doc-id overlap ({n_overlap} docs) with on_conflict='error'"
             )
 
-    flat = flat_postings(a).join(b_ids, "doc_id", "left_anti").unionByName(
-        flat_postings(b)
-    )
-    doc_stats = (
-        a.doc_stats.select("doc_id", "doc_len")
-        .join(b_ids, "doc_id", "left_anti")
-        .unionByName(b.doc_stats.select("doc_id", "doc_len"))
-    )
     docs = None
     if a.docs is not None and b.docs is not None:
         common = [c for c in a.docs.columns if c in set(b.docs.columns)]
@@ -279,17 +531,28 @@ def merge_indexes(
             .join(b_ids, "doc_id", "left_anti")
             .unionByName(b.docs.select(common))
         )
-    return _reassemble(flat, doc_stats, cfg, docs)
+    return _incremental_rebuild(
+        a,
+        drop_ids=b_ids,
+        add_flat=flat_postings(b),
+        add_doc_stats=b.doc_stats,
+        cfg=cfg,
+        docs=docs,
+        # layout flip (store_arrays differs): every row of a must be
+        # rewritten anyway — take the exhaustive regroup path
+        force_regroup=cfg.store_arrays != a.cfg.store_arrays,
+    )
 
 
 def delete_docs(index: Index, doc_ids) -> Index:
     """Compaction: a new index with ``doc_ids`` removed and ALL global
     statistics (N, avgdl, df/idf, bm25 weights) exactly recomputed —
-    value-identical to rebuilding from the surviving corpus.
+    value-identical to rebuilding from the surviving corpus. Only
+    shards that contained deleted docs are regrouped; the rest are
+    rescored in place.
 
     ``doc_ids``: a DataFrame with a ``doc_id`` column, or a Python
-    iterable of ids (broadcast as a literal filter when small).
-    """
+    iterable of ids."""
     spark = index.postings.sparkSession
     if isinstance(doc_ids, DataFrame):
         ids_df = doc_ids.select("doc_id").distinct()
@@ -297,13 +560,16 @@ def delete_docs(index: Index, doc_ids) -> Index:
         ids_df = spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id long"
         )
-    flat = flat_postings(index).join(ids_df, "doc_id", "left_anti")
-    doc_stats = index.doc_stats.select("doc_id", "doc_len").join(
-        ids_df, "doc_id", "left_anti"
-    )
     docs = (
         index.docs.join(ids_df, "doc_id", "left_anti")
         if index.docs is not None
         else None
     )
-    return _reassemble(flat, doc_stats, index.cfg, docs)
+    return _incremental_rebuild(
+        index,
+        drop_ids=ids_df,
+        add_flat=None,
+        add_doc_stats=None,
+        cfg=index.cfg,
+        docs=docs,
+    )

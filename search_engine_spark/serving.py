@@ -93,6 +93,10 @@ class ServingIndex:
         # set by load_latest/refresh when serving a published root
         self.generation: int | None = None
         self._root: str | None = None
+        # set by attach_docs: source-corpus parquet for snippet fetch
+        self._docs_path: str | None = None
+        self._docs_text_col = "content"
+        self._docs_id_col = "doc_id"
 
     # -- loading ----------------------------------------------------------
 
@@ -376,6 +380,108 @@ class ServingIndex:
 
         hits.sort(key=lambda t: (band(t), t))
         return hits[:k]
+
+    # -- snippets (reference result-page parity) --------------------------
+
+    def attach_docs(
+        self,
+        path: str,
+        text_col: str = "content",
+        id_col: str = "doc_id",
+    ) -> None:
+        """Point the serving node at the source-corpus parquet (the
+        index artifacts deliberately do not duplicate document text).
+        Snippet fetches read ONLY the requested doc ids via a pyarrow
+        dataset filter — parquet row-group statistics prune the read,
+        so a k-row result page never scans the corpus."""
+        self._docs_path = path
+        self._docs_text_col = text_col
+        self._docs_id_col = id_col
+
+    def fetch_docs(self, doc_ids: list[int]) -> dict[int, str]:
+        """id -> text for the given ids (row-group-pruned read)."""
+        if self._docs_path is None:
+            raise ValueError(
+                "no document store attached — call attach_docs(path) first"
+            )
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(self._docs_path, format="parquet").to_table(
+            columns=[self._docs_id_col, self._docs_text_col],
+            filter=pc.field(self._docs_id_col).isin(
+                [int(d) for d in doc_ids]
+            ),
+        )
+        return dict(
+            zip(
+                tbl.column(self._docs_id_col).to_pylist(),
+                tbl.column(self._docs_text_col).to_pylist(),
+            )
+        )
+
+    def snippets(
+        self,
+        doc_ids: list[int],
+        query_words: list[str],
+        radius: int = 150,
+    ) -> dict[int, str]:
+        """Sentence-aligned snippets (reference generateSnippet) for a
+        result page — same semantics as the Spark bulk operator
+        ``operators.snippets.make_snippets(mode="sentence")``, pinned
+        equal by tests/test_serving.py."""
+        from search_engine_spark.functions.snippets_py import (
+            NO_PREVIEW,
+            sentence_snippet,
+        )
+
+        texts = self.fetch_docs(doc_ids)
+        return {
+            int(d): (
+                sentence_snippet(texts[int(d)], query_words, radius=radius)
+                if int(d) in texts
+                else NO_PREVIEW
+            )
+            for d in doc_ids
+        }
+
+    def result_page(
+        self,
+        query: str,
+        page: int = 0,
+        size: int = 10,
+        mode: str = "bm25",
+        snippet_words: list[str] | None = None,
+    ) -> tuple[list[dict], int]:
+        """The reference's full search-response shape
+        (SE/BackendManager.java search(): ranked page + snippet per
+        row): returns ([{doc_id, rel, page_rank, score, snippet}],
+        total). ``snippet_words`` defaults to the query's surface words
+        (lowercased, quotes stripped, boolean operators dropped) — the
+        reference highlights the raw query words, not their stems."""
+        import re as _re
+
+        rows, total = self.search_paged(query, page, size, mode=mode)
+        if snippet_words is None:
+            snippet_words = [
+                w
+                for w in _re.findall(r"[\w']+", query.lower())
+                if w not in ("and", "or", "not")
+            ]
+        snips = self.snippets([r[0] for r in rows], snippet_words)
+        return (
+            [
+                {
+                    "doc_id": d,
+                    "rel": rel,
+                    "page_rank": pr,
+                    "score": s,
+                    "snippet": snips[d],
+                }
+                for d, rel, pr, s in rows
+            ],
+            total,
+        )
 
     def cached_search(
         self, query: str, k: int | None = None, mode: str = "bm25"

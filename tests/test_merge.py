@@ -170,3 +170,44 @@ def test_merged_index_wand_and_save_roundtrip(spark, split_corpus, tmp_path):
     merged.save(path)
     loaded = Index.load(spark, path)
     assert _topk(loaded, q) == _topk(merged, q)
+
+
+@pytest.mark.parametrize("store_arrays", [True, False])
+def test_clean_shards_pass_through_without_regroup(spark, store_arrays):
+    """The dirty-shard fast path: an append-only delta landing in NEW
+    shards must leave the main index's clean-shard id/tf/position
+    binaries byte-identical (they are rescored in place, never
+    decoded-shuffled-regrouped) while the bm25 binaries change with the
+    new global avgdl/N."""
+    cfg = EngineConfig(
+        docs_per_shard=64, block_size=16, store_arrays=store_arrays
+    )
+    full = generate_corpus(spark, 256, seed=9).cache()
+    a = build_index(full.filter(F.col("doc_id") < 128), cfg=cfg)
+    b = build_index(full.filter(F.col("doc_id") >= 128), cfg=cfg)
+    merged = merge_indexes(a, b, on_conflict="error")
+
+    key = lambda r: (r.term, r.shard)  # noqa: E731
+    a_rows = {key(r): r for r in a.postings.collect()}
+    m_rows = {key(r): r for r in merged.postings.collect()}
+    clean = [k for k in a_rows if k[1] < 2]
+    assert clean
+    changed_bm = 0
+    for k in clean:
+        ar, mr = a_rows[k], m_rows[k]
+        assert bytes(mr.doc_ids_enc) == bytes(ar.doc_ids_enc), k
+        assert bytes(mr.tf_enc) == bytes(ar.tf_enc), k
+        assert bytes(mr.pos_enc) == bytes(ar.pos_enc), k
+        assert mr.n_postings == ar.n_postings
+        changed_bm += bytes(mr.bm25_tf_enc) != bytes(ar.bm25_tf_enc)
+    # avgdl moved, so bm25 binaries must have been rescored
+    assert changed_bm > 0
+    # and the rescored values equal a full rebuild's
+    rebuilt = {
+        key(r): r for r in build_index(full, cfg=cfg).postings.collect()
+    }
+    for k in clean:
+        assert bytes(m_rows[k].bm25_tf_enc) == bytes(
+            rebuilt[k].bm25_tf_enc
+        ), k
+        assert m_rows[k].block_max == rebuilt[k].block_max, k

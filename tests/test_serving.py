@@ -196,3 +196,56 @@ def test_serving_codec_profile_bit_identity(spark, tmp_path_factory):
         assert [x[0] for x in got] == [x[0] for x in exp], q
         for (_, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-15), q
+
+
+def test_serving_snippets_match_spark_operator(saved, tmp_path):
+    """Serving-tier snippets (result-page parity): the pure-Python
+    sentence snippet over a row-group-pruned pyarrow doc fetch must
+    equal the Spark bulk operator byte-for-byte on the same docs."""
+    from search_engine_spark.operators.snippets import make_snippets
+
+    d, idx, docs = saved
+    docs_p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_p)
+    srv = ServingIndex.load(d)
+    with pytest.raises(ValueError, match="attach_docs"):
+        srv.fetch_docs([1])
+    srv.attach_docs(docs_p, text_col="content")
+
+    words = ["banana", "recipe"]
+    top = [doc for doc, *_ in srv.search("banana recipe", k=10)]
+    got = srv.snippets(top, words)
+    exp = {
+        r["doc_id"]: r["snippet"]
+        for r in make_snippets(
+            docs.filter(F.col("doc_id").isin(top)),
+            words,
+            width=150,
+            text_col="content",
+            mode="sentence",
+        ).collect()
+    }
+    assert got == {k: exp[k] for k in got}
+    # unknown id falls back to NO_PREVIEW, never a crash
+    from search_engine_spark.functions.snippets_py import NO_PREVIEW
+
+    assert srv.snippets([10**9], words) == {10**9: NO_PREVIEW}
+
+
+def test_serving_result_page(saved, tmp_path):
+    """The reference's full response shape: ranked page + snippet per
+    row, operators stripped from the default highlight words."""
+    d, idx, docs = saved
+    docs_p = str(tmp_path / "docs_rp.parquet")
+    docs.write.parquet(docs_p)
+    srv = ServingIndex.load(d)
+    srv.attach_docs(docs_p, text_col="content")
+
+    rows, total = srv.result_page("banana AND recipe", page=0, size=5)
+    paged, ptotal = srv.search_paged("banana AND recipe", 0, 5)
+    assert total == ptotal and len(rows) == len(paged)
+    for row, (doc, rel, pr, score) in zip(rows, paged):
+        assert row["doc_id"] == doc and row["score"] == score
+        assert isinstance(row["snippet"], str) and row["snippet"]
+        # 'and' must not be highlighted (operator, not a query word)
+        assert "<strong>and</strong>" not in row["snippet"].lower()
