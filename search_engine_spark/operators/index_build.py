@@ -100,20 +100,35 @@ class Index:
     docs: DataFrame | None = None
 
     def save(self, path: str) -> None:
-        # sortWithinPartitions(term) after range-repartition → parquet
-        # row-group min/max stats make term lookups prune files/row-groups.
-        (
-            self.postings.repartitionByRange("term", "shard")
-            .sortWithinPartitions("term", "shard")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "postings"))
-        )
-        self.term_stats.write.mode("overwrite").parquet(
-            os.path.join(path, "term_stats")
-        )
-        self.doc_stats.write.mode("overwrite").parquet(
-            os.path.join(path, "doc_stats")
-        )
+        # term_stats derives from the same postings plan the postings
+        # write evaluates (build_index/merge_indexes), so without a
+        # cache the expensive build plan runs once per artifact write —
+        # measured ~2x job wall at 475k docs. Persist for the duration
+        # of the save unless the caller already manages the cache
+        # (never unpersist a cache we did not create).
+        lvl = self.postings.storageLevel
+        own_cache = not (lvl.useMemory or lvl.useDisk)
+        if own_cache:
+            self.postings.persist()
+        try:
+            # sortWithinPartitions(term) after range-repartition →
+            # parquet row-group min/max stats make term lookups prune
+            # files/row-groups.
+            (
+                self.postings.repartitionByRange("term", "shard")
+                .sortWithinPartitions("term", "shard")
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "postings"))
+            )
+            self.term_stats.write.mode("overwrite").parquet(
+                os.path.join(path, "term_stats")
+            )
+            self.doc_stats.write.mode("overwrite").parquet(
+                os.path.join(path, "doc_stats")
+            )
+        finally:
+            if own_cache:
+                self.postings.unpersist()
         from dataclasses import asdict
 
         meta = {
