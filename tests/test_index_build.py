@@ -141,3 +141,26 @@ def test_load_restores_build_config(spark, tmp_path):
     got = [(r["doc_id"], round(r["score"], 6))
            for r in search(loaded, "banana recipe", k=10).collect()]
     assert got == want
+
+
+def test_save_cache_lifecycle(spark, tmp_path):
+    """save() persists postings for the duration of the three artifact
+    writes (term_stats/doc_stats share the build plan) but must release
+    a cache it created and must NOT tear down a caller-managed one."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    idx = build_index(generate_corpus(spark, 80, seed=3))
+    lvl = idx.postings.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    idx.save(str(tmp_path / "own"))
+    lvl = idx.postings.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "save leaked its own cache"
+
+    idx.postings.persist()
+    try:
+        idx.save(str(tmp_path / "caller"))
+        lvl = idx.postings.storageLevel
+        assert lvl.useMemory or lvl.useDisk, "save tore down caller cache"
+    finally:
+        idx.postings.unpersist()
