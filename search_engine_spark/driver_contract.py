@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.operators.index_build import Index, build_index
+from search_engine_spark.session import local_df
 
 SIMPLE_CFG = EngineConfig(stem=False, remove_stopwords=False)
 
@@ -442,8 +443,8 @@ def q_suggest_trie(spark, sf_dir):
 
     idx = get_index(spark, sf_dir)
     words = trie_from_terms(idx.term_stats).suggest("s")
-    return spark.createDataFrame(
-        [(w, i) for i, w in enumerate(words)], "term string, rank int"
+    return local_df(
+        spark, [(w, i) for i, w in enumerate(words)], "term string, rank int"
     )
 
 
@@ -1466,7 +1467,7 @@ def q_streaming_topk(spark, sf_dir):
         out = search(idx, " ".join(BM25_TERMS), k=10).select(
             "doc_id", F.round("score", 5).alias("score")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

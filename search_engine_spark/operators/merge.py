@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
+from search_engine_spark.session import local_df
 from search_engine_spark.operators.index_build import (
     POSTINGS_SCHEMA,
     Index,
@@ -557,8 +558,8 @@ def delete_docs(index: Index, doc_ids) -> Index:
     if isinstance(doc_ids, DataFrame):
         ids_df = doc_ids.select("doc_id").distinct()
     else:
-        ids_df = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
+        ids_df = local_df(
+            spark, [(int(i),) for i in doc_ids], "doc_id long"
         )
     docs = (
         index.docs.join(ids_df, "doc_id", "left_anti")

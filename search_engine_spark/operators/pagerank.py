@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.config import DEFAULT, EngineConfig
+from search_engine_spark.session import local_df
 
 
 def edges_from_links(links: DataFrame, docs: DataFrame) -> DataFrame:
@@ -88,7 +89,8 @@ def _pagerank_local(
             rank = new
             break
         rank = new
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(i), float(r)) for i, r in zip(node_ids, rank)],
         "doc_id: long, page_rank: double",
     )

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from search_engine_spark.operators.index_build import Index
+from search_engine_spark.session import local_df
 from search_engine_spark.operators.parser import (
     detect_operator,
     is_phrase,
@@ -482,7 +483,7 @@ def search_paged(
         # leak for the session's lifetime)
         scored.unpersist()
     spark = index.postings.sparkSession
-    return spark.createDataFrame(rows, schema), total
+    return local_df(spark, rows, schema), total
 
 
 def search_many(
@@ -557,7 +558,7 @@ def search_many(
     finally:
         if persisted:
             base.unpersist()
-    return spark.createDataFrame(rows, result_schema)
+    return local_df(spark, rows, result_schema)
 
 
 def _batch_phrase_udf(max_gap: int):
@@ -648,8 +649,8 @@ def search_batch(
     if not comp_rows or not all_stems:
         return spark.createDataFrame([], result_schema)
 
-    comp_terms = spark.createDataFrame(
-        comp_rows, "query string, comp_id int, term string, "
+    comp_terms = local_df(
+        spark, comp_rows, "query string, comp_id int, term string, "
         "scoring boolean, op string, is_phr boolean"
     )
     base = term_matches(index, all_stems).persist()
@@ -659,7 +660,8 @@ def search_batch(
     # gap check, one groupBy over phrase-component rows only
     if phrase_rows:
         pmeta = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 phrase_rows,
                 "query string, comp_id int, stems array<string>, "
                 "n_uniq int",
