@@ -98,6 +98,10 @@ class Index:
     avgdl: float
     cfg: EngineConfig
     docs: DataFrame | None = None
+    # local artifact directory when this index was save()d or load()ed —
+    # lets per-query metadata lookups (_idf_map) read the tiny sorted
+    # term_stats parquet with pyarrow instead of paying a Spark job.
+    path: str | None = None
 
     def save(self, path: str) -> None:
         # term_stats derives from the same postings plan the postings
@@ -123,8 +127,13 @@ class Index:
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "postings"))
             )
-            self.term_stats.write.mode("overwrite").parquet(
-                os.path.join(path, "term_stats")
+            # term-sorted layout: row-group min/max stats let the
+            # pyarrow idf fast path (and any term-filtered scan) prune
+            (
+                self.term_stats.repartitionByRange("term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "term_stats"))
             )
             self.doc_stats.write.mode("overwrite").parquet(
                 os.path.join(path, "doc_stats")
@@ -147,6 +156,7 @@ class Index:
             "bm25_k1": self.cfg.bm25_k1,
             "bm25_b": self.cfg.bm25_b,
         }
+        self.path = path
         spark = self.postings.sparkSession
         # range(1)+lit keeps the one-row frame JVM-side. The obvious
         # createDataFrame([...]).coalesce(1) parallelizes the local row
@@ -189,6 +199,7 @@ class Index:
             n_docs=int(meta["n_docs"]),
             avgdl=float(meta["avgdl"]),
             cfg=cfg,
+            path=path,
         )
 
 

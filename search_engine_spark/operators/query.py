@@ -22,6 +22,7 @@ right-wins per term + max pagerank (Q5), tie-break score DESC doc_id ASC
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 import pandas as pd
@@ -315,13 +316,38 @@ def query_terms_needed(index: Index, query: str) -> list[str]:
 
 
 def _idf_map(index: Index, stems: list[str]) -> dict[str, float]:
-    """Driver-side idf lookup for a known stem set — one tiny job on the
-    (persisted, small) term_stats table; terms absent from the index are
-    simply absent from the map."""
+    """Driver-side idf lookup for a known stem set; terms absent from
+    the index are simply absent from the map.
+
+    When the index rode through save()/load() on a local path, the
+    sorted term_stats parquet is read directly with pyarrow (row-group
+    stats prune to the query's term range) — ~1 ms instead of the
+    ~0.4 s Spark-job floor, the same artifacts-not-jobs move as
+    serving.py. Falls back to one tiny Spark job on the in-memory
+    term_stats plan (fresh builds, merged indexes, remote paths)."""
+    stems = list(stems)
+    if index.path:
+        ts_dir = os.path.join(index.path, "term_stats")
+        if os.path.isdir(ts_dir):
+            try:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(ts_dir, format="parquet").to_table(
+                    columns=["term", "idf"],
+                    filter=ds.field("term").isin(stems),
+                )
+                return {
+                    t: float(v)
+                    for t, v in zip(
+                        tbl["term"].to_pylist(), tbl["idf"].to_pylist()
+                    )
+                }
+            except Exception:
+                pass
     return {
         r["term"]: float(r["idf"])
         for r in index.term_stats.filter(
-            F.col("term").isin(list(stems))
+            F.col("term").isin(stems)
         ).collect()
     }
 
