@@ -318,3 +318,63 @@ def test_search_batch_empty_inputs(spark_index, spark):
 
     assert search_batch(spark_index, [], k=5).count() == 0
     assert search_batch(spark_index, ["zzz_absent"], k=5).count() == 0
+
+
+def test_idf_fast_path_matches_spark(spark, tmp_path):
+    """On a save()d/load()ed index _idf_map reads term_stats with
+    pyarrow (row-group-pruned, no Spark job); it must be value-identical
+    to the Spark lookup, and search() must be rank-identical across a
+    save/load roundtrip."""
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.query import _idf_map, search
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    idx = build_index(generate_corpus(spark, 150, seed=5).cache())
+    stems = ["banana", "recip", "hash", "join", "zzz_absent"]
+    assert idx.path is None
+    via_spark = _idf_map(idx, stems)
+
+    d = str(tmp_path / "idx")
+    idx.save(d)
+    assert idx.path == d
+    assert _idf_map(idx, stems) == via_spark
+
+    loaded = Index.load(spark, d)
+    assert loaded.path == d
+    assert _idf_map(loaded, stems) == via_spark
+
+    want = [(r.doc_id, round(r.score, 9))
+            for r in search(idx, "banana recipe", k=5).collect()]
+    got = [(r.doc_id, round(r.score, 9))
+           for r in search(loaded, "banana recipe", k=5).collect()]
+    assert got == want
+
+
+def test_local_df_arrow_fallback_semantics(spark):
+    """local_df must type by the EXPLICIT schema (no pandas inference)
+    and survive empty rows, None cells, Row inputs, and colon schemas."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from search_engine_spark.session import local_df
+
+    df = local_df(
+        spark, [("a", 1, None), ("b", None, 2.5)],
+        "q string, c int, s double",
+    )
+    assert df.schema.simpleString() == "struct<q:string,c:int,s:double>"
+    assert [tuple(r) for r in df.collect()] == [
+        ("a", 1, None), ("b", None, 2.5),
+    ]
+
+    st = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    assert local_df(spark, [], st).count() == 0
+    rows = [Row(doc_id=1, score=0.5), Row(doc_id=2, score=None)]
+    assert [tuple(r) for r in local_df(spark, rows, st).collect()] == [
+        (1, 0.5), (2, None),
+    ]
+    got = local_df(spark, [(1, 0.25)], "doc_id: long, page_rank: double")
+    assert got.columns == ["doc_id", "page_rank"]
