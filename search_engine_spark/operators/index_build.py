@@ -141,6 +141,15 @@ class Index:
         finally:
             if own_cache:
                 self.postings.unpersist()
+        # the docs projection (doc_id, sha256?, page_rank?) must ride
+        # with the index: without it a load()ed index silently loses
+        # PageRank mixing (R1/R2) and the sha256 invariant anchor. Its
+        # presence is recorded in meta (not probed from storage) so the
+        # layout stays object-store-agnostic.
+        if self.docs is not None:
+            self.docs.write.mode("overwrite").parquet(
+                os.path.join(path, "docs")
+            )
         from dataclasses import asdict
 
         meta = {
@@ -155,6 +164,7 @@ class Index:
             "docs_per_shard": self.cfg.docs_per_shard,
             "bm25_k1": self.cfg.bm25_k1,
             "bm25_b": self.cfg.bm25_b,
+            "has_docs": self.docs is not None,
         }
         self.path = path
         spark = self.postings.sparkSession
@@ -192,6 +202,11 @@ class Index:
                 )
             else:
                 cfg = DEFAULT
+        docs = (
+            spark.read.parquet(os.path.join(path, "docs"))
+            if meta.get("has_docs")
+            else None
+        )
         return Index(
             postings=spark.read.parquet(os.path.join(path, "postings")),
             term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
@@ -199,6 +214,7 @@ class Index:
             n_docs=int(meta["n_docs"]),
             avgdl=float(meta["avgdl"]),
             cfg=cfg,
+            docs=docs,
             path=path,
         )
 

@@ -143,6 +143,29 @@ class ServingIndex:
         d_ids = np.asarray(ds.column("doc_id").to_pylist(), dtype=np.int64)
         d_len = np.asarray(ds.column("doc_len").to_pylist(), dtype=np.float64)
         order = np.argsort(d_ids)
+        if page_rank is None and meta.get("has_docs"):
+            # the saved docs projection carries page_rank when the index
+            # was built after a write-back — auto-arm the R1/R2 mix, same
+            # as the Spark path's index.docs auto-attach
+            import pyarrow.parquet as pq
+
+            docs_schema = pq.read_schema(
+                sorted(
+                    glob.glob(os.path.join(path, "docs", "part-*.parquet"))
+                )[0]
+            )
+            if "page_rank" in docs_schema.names:
+                dt = _read_parquet(
+                    os.path.join(path, "docs"), ["doc_id", "page_rank"]
+                )
+                page_rank = {
+                    int(i): float(r)
+                    for i, r in zip(
+                        dt.column("doc_id").to_pylist(),
+                        dt.column("page_rank").to_pylist(),
+                    )
+                    if r is not None
+                }
         return cls(
             enc_rows, idf, d_ids[order], d_len[order],
             int(meta["n_docs"]), float(meta["avgdl"]), cfg,

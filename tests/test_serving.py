@@ -249,3 +249,58 @@ def test_serving_result_page(saved, tmp_path):
         assert isinstance(row["snippet"], str) and row["snippet"]
         # 'and' must not be highlighted (operator, not a query word)
         assert "<strong>and</strong>" not in row["snippet"].lower()
+
+
+def test_docs_projection_rides_with_saved_index(spark, tmp_path):
+    """A docs table carrying page_rank must survive save/load: the
+    loaded index auto-attaches it (R1/R2 mix on, rank-identical to the
+    in-memory index) and ServingIndex.load auto-arms the same mix with
+    NO explicit page_rank argument."""
+    docs = generate_corpus(spark, 300, seed=13).withColumn(
+        "page_rank",
+        (F.crc32(F.col("doc_id").cast("string")) % 997) / 997.0,
+    ).cache()
+    cfg = EngineConfig(docs_per_shard=64, block_size=8)
+    idx = build_index(docs, cfg=cfg)
+    assert "page_rank" in idx.docs.columns
+    d = str(tmp_path / "pr_idx")
+    idx.save(d)
+
+    loaded = Index.load(spark, d)
+    assert loaded.docs is not None
+    assert "page_rank" in loaded.docs.columns
+    for q in ["banana recipe", "banana AND recipe", '"banana recipe"']:
+        exp = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(idx, q, k=10).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(loaded, q, k=10).collect()
+        ]
+        assert got == exp, q
+        srv_got = [
+            (doc, round(score, 6))
+            for doc, _rel, _pr, score in ServingIndex.load(d).search(q, k=10)
+        ]
+        assert [x[0] for x in srv_got] == [x[0] for x in exp], q
+        for (_, gs), (_, es) in zip(srv_got, exp):
+            assert abs(gs - es) < 1e-6, q
+
+
+def test_saved_index_without_docs_loads_clean(spark, tmp_path):
+    """Back-compat shape: an Index whose docs projection is None writes
+    no docs artifact and loads with docs=None (scores rel-only)."""
+    from dataclasses import replace as _replace  # noqa: F401
+
+    docs = generate_corpus(spark, 120, seed=3).cache()
+    idx = build_index(docs, cfg=EngineConfig(docs_per_shard=64))
+    idx.docs = None
+    d = str(tmp_path / "nodocs_idx")
+    idx.save(d)
+    import os
+
+    assert not os.path.isdir(os.path.join(d, "docs"))
+    loaded = Index.load(spark, d)
+    assert loaded.docs is None
+    assert search(loaded, "banana recipe", k=3).count() > 0
