@@ -47,7 +47,10 @@ from pyspark.sql import types as T
 
 from search_engine_spark.config import DEFAULT, EngineConfig
 from search_engine_spark.operators import codec
-from search_engine_spark.operators.tokenize import tokenize_docs
+from search_engine_spark.operators.tokenize import (
+    token_structs,
+    tokenize_docs,
+)
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -360,7 +363,7 @@ def build_index(
         tok.select(
             "doc_id",
             F.col("n_tokens").cast("double").alias("doc_len"),
-            F.explode("tokens").alias("t"),
+            F.explode(token_structs()).alias("t"),
         )
         .select(
             "doc_id",

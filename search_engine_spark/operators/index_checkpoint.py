@@ -64,7 +64,7 @@ from search_engine_spark.operators.index_build import (
     Index,
     merge_postings,
 )
-from search_engine_spark.operators.tokenize import tokenize_docs
+from search_engine_spark.operators.tokenize import tokenize_docs, token_structs
 
 
 def _cfg_hash(cfg: EngineConfig) -> str:
@@ -208,7 +208,7 @@ class ResumableIndexBuild:
             tok.select(
                 "doc_id",
                 F.col("n_tokens").cast("double").alias("doc_len"),
-                F.explode("tokens").alias("t"),
+                F.explode(token_structs()).alias("t"),
             )
             .select(
                 "doc_id",

@@ -40,23 +40,43 @@ from search_engine_spark.config import DEFAULT, EngineConfig
 from search_engine_spark.functions.porter import stem as porter_stem
 from search_engine_spark.functions.stopwords import STOPWORDS
 
+# Flat parallel arrays, NOT array<struct>: an Arrow list<struct> output
+# column costs ~2x in the UDF serializer and ~9x in an unfused
+# downstream explode (JVM Arrow->row materialization of tens of
+# millions of nested structs) vs three flat list columns +
+# explode(arrays_zip(...)), which Catalyst evaluates without building
+# intermediate structs. Measured at 480k docs / local[32]: tokenize
+# stage 9.4 s -> 6.5 s cold, uncached tokenize+explode 17.7 s -> 5.9 s,
+# full build best-rep 20.8k -> 25.4k docs/s (the remaining build cost
+# is the posting shuffle+codec reduce, untouched by this shape).
+# token_structs() rebuilds the struct view for consumers that want it.
 TOKENS_SCHEMA = T.StructType(
     [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.DoubleType())),
         T.StructField(
-            "tokens",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("tf", T.DoubleType()),
-                        T.StructField("positions", T.ArrayType(T.IntegerType())),
-                    ]
-                )
-            ),
+            "positions", T.ArrayType(T.ArrayType(T.IntegerType()))
         ),
         T.StructField("n_tokens", T.IntegerType()),
     ]
 )
+
+
+def token_structs(extra: tuple[str, ...] = ()) -> Column:
+    """``array<struct<term, tf, positions[, ...extra]>>`` view over the
+    flat token columns of ``tokenize_docs``/``tokenize_docs_sectioned``
+    output — ``F.explode(token_structs())`` is the canonical way to get
+    per-(doc, term) rows. arrays_zip keeps this JVM-side and is far
+    cheaper than having the Arrow UDF emit list<struct> directly."""
+    cols = [
+        F.col("terms").alias("term"),
+        F.col("tfs").alias("tf"),
+        F.col("positions").alias("positions"),
+    ]
+    for name in extra:
+        # plural flat column -> singular struct field (top_sections etc.)
+        cols.insert(-1, F.col(name).alias(name.rstrip("s")))
+    return F.arrays_zip(*cols)
 
 _ALPHA = re.compile(r"^[a-zA-Z]+$")
 
@@ -121,10 +141,12 @@ def make_tokenize_udf(cfg: EngineConfig = DEFAULT):
         # finditer loop with a second regex per token
         findall = re.compile(pattern).findall
         stem = porter_stem
-        toks_col, n_col = [], []
+        t_col, f_col, p_col, n_col = [], [], [], []
         for text in content:
             if text is None:
-                toks_col.append([])
+                t_col.append([])
+                f_col.append([])
+                p_col.append([])
                 n_col.append(0)
                 continue
             if do_stem:
@@ -145,10 +167,28 @@ def make_tokenize_udf(cfg: EngineConfig = DEFAULT):
                     and w.isalpha()
                     and (not do_stop or w not in stopset)
                 ]
-            tokens, n = aggregate_tokens(words)
-            toks_col.append(tokens)
-            n_col.append(n)
-        return pd.DataFrame({"tokens": toks_col, "n_tokens": n_col})
+            # same first-occurrence accumulate as aggregate_tokens (the
+            # oracle contract), emitted as parallel flat lists
+            acc: dict[str, list] = {}
+            for i, w in enumerate(words):
+                ent = acc.get(w)
+                if ent is None:
+                    acc[w] = [1.0, [i]]
+                else:
+                    ent[0] += 1.0
+                    ent[1].append(i)
+            t_col.append(list(acc.keys()))
+            f_col.append([v[0] for v in acc.values()])
+            p_col.append([v[1] for v in acc.values()])
+            n_col.append(len(words))
+        return pd.DataFrame(
+            {
+                "terms": t_col,
+                "tfs": f_col,
+                "positions": p_col,
+                "n_tokens": n_col,
+            }
+        )
 
     return tokenize
 
@@ -159,17 +199,15 @@ def tokenize_docs(
     doc_id_col: str = "doc_id",
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
-    """(doc_id, ...) -> (doc_id, tokens array<struct<term,tf,positions>>,
-    n_tokens). Map-side only — no shuffle."""
+    """(doc_id, ...) -> (doc_id, terms array<string>, tfs array<double>,
+    positions array<array<int>>, n_tokens) — flat parallel arrays (see
+    TOKENS_SCHEMA note); ``F.explode(token_structs())`` yields the
+    per-(doc, term) rows. Map-side only — no shuffle."""
     udf = make_tokenize_udf(cfg)
     tk = df.select(
         F.col(doc_id_col).alias("doc_id"), udf(F.col(text_col)).alias("tk")
     )
-    return tk.select(
-        "doc_id",
-        F.col("tk.tokens").alias("tokens"),
-        F.col("tk.n_tokens").alias("n_tokens"),
-    )
+    return tk.select("doc_id", "tk.*")
 
 
 # --------------------------------------------------------------------------
@@ -209,21 +247,17 @@ SECTION_WEIGHTS = {
     "content": 1.0,
 }
 
+# flat parallel arrays for the same reason as TOKENS_SCHEMA;
+# token_structs(extra=("top_sections", "importances")) rebuilds the
+# struct view
 SECTION_TOKENS_SCHEMA = T.StructType(
     [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.DoubleType())),
+        T.StructField("top_sections", T.ArrayType(T.StringType())),
+        T.StructField("importances", T.ArrayType(T.DoubleType())),
         T.StructField(
-            "tokens",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("tf", T.DoubleType()),
-                        T.StructField("top_section", T.StringType()),
-                        T.StructField("importance", T.DoubleType()),
-                        T.StructField("positions", T.ArrayType(T.IntegerType())),
-                    ]
-                )
-            ),
+            "positions", T.ArrayType(T.ArrayType(T.IntegerType()))
         ),
         T.StructField("n_tokens", T.IntegerType()),
     ]
@@ -246,7 +280,7 @@ def make_tokenize_sections_udf(cfg: EngineConfig = DEFAULT):
     def tokenize(elements: pd.Series) -> pd.DataFrame:
         findall = re.compile(pattern).findall
         stem = porter_stem
-        toks_col, n_col = [], []
+        t_col, f_col, s_col, w_col, p_col, n_col = [], [], [], [], [], []
         for elems in elements:
             acc: dict[str, list] = {}  # term -> [count, top_sec, top_w, poss]
             total = 0
@@ -282,20 +316,22 @@ def make_tokenize_sections_udf(cfg: EngineConfig = DEFAULT):
                         if w > ent[2]:
                             ent[1], ent[2] = sec, w
                         ent[3].append(i)
-            toks_col.append(
-                [
-                    {
-                        "term": t,
-                        "tf": v[0],
-                        "top_section": v[1],
-                        "importance": v[2],
-                        "positions": v[3],
-                    }
-                    for t, v in acc.items()
-                ]
-            )
+            t_col.append(list(acc.keys()))
+            f_col.append([v[0] for v in acc.values()])
+            s_col.append([v[1] for v in acc.values()])
+            w_col.append([v[2] for v in acc.values()])
+            p_col.append([v[3] for v in acc.values()])
             n_col.append(total)
-        return pd.DataFrame({"tokens": toks_col, "n_tokens": n_col})
+        return pd.DataFrame(
+            {
+                "terms": t_col,
+                "tfs": f_col,
+                "top_sections": s_col,
+                "importances": w_col,
+                "positions": p_col,
+                "n_tokens": n_col,
+            }
+        )
 
     return tokenize
 
@@ -310,10 +346,11 @@ def tokenize_docs_sectioned(
 
     ``sections``: ordered (column, section_label) pairs; a string column
     is one element, an array<string> column is repeated elements of that
-    section kind. Output: (doc_id, tokens array<struct<term, tf,
-    top_section, importance, positions>>, n_tokens). Map-side only — the
-    element flattening is JVM array algebra, the analysis is one Arrow
-    UDF."""
+    section kind. Output: (doc_id, terms, tfs, top_sections, importances,
+    positions, n_tokens) flat parallel arrays (see TOKENS_SCHEMA note);
+    ``token_structs(extra=("top_sections", "importances"))`` rebuilds the
+    struct view. Map-side only — the element flattening is JVM array
+    algebra, the analysis is one Arrow UDF."""
     dtypes = dict(df.dtypes)
 
     def _tag(lbl):
@@ -349,11 +386,7 @@ def tokenize_docs_sectioned(
     tk = df.select(
         F.col(doc_id_col).alias("doc_id"), udf(combined).alias("tk")
     )
-    return tk.select(
-        "doc_id",
-        F.col("tk.tokens").alias("tokens"),
-        F.col("tk.n_tokens").alias("n_tokens"),
-    )
+    return tk.select("doc_id", "tk.*")
 
 
 def simple_split_tokens(text_col: Column, min_len: int = 2) -> Column:

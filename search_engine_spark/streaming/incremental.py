@@ -44,7 +44,7 @@ from search_engine_spark.operators.index_checkpoint import (
     merge_postings,
     read_manifests,
 )
-from search_engine_spark.operators.tokenize import tokenize_docs
+from search_engine_spark.operators.tokenize import tokenize_docs, token_structs
 
 
 class StreamingIndexIngest:
@@ -105,7 +105,7 @@ class StreamingIndexIngest:
             tok.select(
                 "doc_id",
                 F.col("n_tokens").cast("double").alias("doc_len"),
-                F.explode("tokens").alias("t"),
+                F.explode(token_structs()).alias("t"),
             )
             .select(
                 "doc_id",

@@ -84,7 +84,12 @@ def test_tokenize_docs_html_matches_hand_oracle(spark):
     ]
     want_acc, want_total = oracle_tokenize_sections(elements, CFG)
     assert got["n_tokens"] == want_total
-    toks = {t["term"]: t for t in got["tokens"]}
+    toks = {
+        t: {"term": t, "tf": f, "top_section": sec, "positions": list(p)}
+        for t, f, sec, p in zip(
+            got["terms"], got["tfs"], got["top_sections"], got["positions"]
+        )
+    }
     assert set(toks) == set(want_acc)
     for term, w in want_acc.items():
         t = toks[term]

@@ -9,6 +9,26 @@ from search_engine_spark.operators.tokenize import (
 
 CFG = EngineConfig()
 
+def _tok_dicts(r):
+    """Struct view of the flat token arrays (rows from tokenize_docs)."""
+    return [
+        {"term": t, "tf": f, "positions": list(p)}
+        for t, f, p in zip(r["terms"], r["tfs"], r["positions"])
+    ]
+
+
+def _sec_tok_dicts(r):
+    """Struct view of the flat sectioned-token arrays."""
+    return [
+        {"term": t, "tf": f, "top_section": s, "importance": w,
+         "positions": list(p)}
+        for t, f, s, w, p in zip(
+            r["terms"], r["tfs"], r["top_sections"], r["importances"],
+            r["positions"],
+        )
+    ]
+
+
 
 def test_validity_gates():
     # len<2, len>45, non-alpha, apostrophes, stopwords all filtered
@@ -43,7 +63,7 @@ def test_spark_udf_matches_python(spark, corpus_df, corpus_rows):
 
     got = {
         r["doc_id"]: (sorted((t["term"], t["tf"], tuple(t["positions"]))
-                             for t in r["tokens"]), r["n_tokens"])
+                             for t in _tok_dicts(r)), r["n_tokens"])
         for r in tokenize_docs(corpus_df, cfg=TEST_CFG).collect()
     }
     for doc_id, content in corpus_rows:
@@ -101,7 +121,7 @@ def test_sectioned_tokenizer_matches_oracle(spark):
         want_acc, want_total = oracle_tokenize_sections(elements, cfg)
         r = got[doc_id]
         assert r.n_tokens == want_total, doc_id
-        by_term = {t["term"]: t for t in r.tokens}
+        by_term = {t["term"]: t for t in _sec_tok_dicts(r)}
         assert set(by_term) == set(want_acc), doc_id
         for term, w in want_acc.items():
             t = by_term[term]
@@ -124,7 +144,7 @@ def test_sectioned_reference_semantics_handcheck(spark):
     out = tokenize_docs_sectioned(
         df, [("title", "title"), ("h1s", "h1"), ("content", "content")], cfg=cfg
     ).collect()[0]
-    toks = {t["term"]: t for t in out.tokens}
+    toks = {t["term"]: t for t in _sec_tok_dicts(out)}
 
     # banana: title(5.0) + h1(4.0) + 2x content(1.0) = 11.0
     assert abs(toks["banana"]["tf"] - 11.0) < 1e-12
@@ -229,7 +249,7 @@ def test_sectioned_tokenizer_property_vs_oracle(spark):
             want_acc, want_total = oracle_tokenize_sections(elements, cfg)
             r = got[i]
             assert r.n_tokens == want_total
-            by_term = {tk["term"]: tk for tk in r.tokens}
+            by_term = {tk["term"]: tk for tk in _sec_tok_dicts(r)}
             assert set(by_term) == set(want_acc)
             for term, w in want_acc.items():
                 tk = by_term[term]
