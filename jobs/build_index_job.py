@@ -45,6 +45,13 @@ def main() -> None:
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--no-stopwords", action="store_true")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument(
+        "--no-verify-sha256",
+        action="store_true",
+        help="skip the per-row content-sha256 invariant check against "
+        "the source table (on by default whenever the source carries a "
+        "sha256 column — input_hint/north-rule contract)",
+    )
     args = ap.parse_args()
 
     # Session comes from spark-submit's conf; only fill engine defaults.
@@ -72,6 +79,29 @@ def main() -> None:
         if args.iceberg
         else spark.read.parquet(args.input)
     )
+
+    # per-row invariant (BASELINE.json input_hint): sha256(content) must
+    # equal the source table's sha256 column. Enforced BEFORE the build
+    # spends cluster time on corrupt input; one narrow pass, no shuffle
+    # beyond the self-join on doc_id.
+    sha_mismatches = None
+    if not args.no_verify_sha256 and "sha256" in docs.columns:
+        from search_engine_spark.operators.index_build import verify_sha256
+
+        sha_mismatches = verify_sha256(
+            docs.select(args.doc_id_col, args.text_col).withColumnRenamed(
+                args.text_col, "content"
+            ),
+            docs.select(args.doc_id_col, "sha256"),
+            id_col=args.doc_id_col,
+        )
+        if sha_mismatches:
+            print(json.dumps({
+                "error": "sha256_mismatch",
+                "mismatching_rows": sha_mismatches,
+            }))
+            spark.stop()
+            raise SystemExit(2)
 
     t0 = time.perf_counter()
     if args.resumable:
@@ -126,6 +156,8 @@ def main() -> None:
             report = {"mode": "oneshot"}
         report.update(n_docs=idx.n_docs, avgdl=round(idx.avgdl, 3))
     wall = time.perf_counter() - t0
+    if sha_mismatches is not None:
+        report["sha256_verified"] = True
     report["wall_sec"] = round(wall, 3)
     if report.get("n_docs"):
         report["docs_per_sec"] = round(report["n_docs"] / wall, 2)

@@ -65,6 +65,8 @@ def test_build_then_query_via_spark_submit(corpus_path, tmp_path):
     )
     assert report["n_docs"] == 120
     assert report["mode"] == "oneshot"
+    # the corpus carries sha256 -> the per-row invariant ran by default
+    assert report["sha256_verified"] is True
 
     stdout = _submit(
         "query_job.py",
@@ -308,3 +310,42 @@ def test_decontam_via_spark_submit(spark, corpus_path, tmp_path):
     }
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == exp
+
+
+def test_build_job_rejects_sha256_mismatch(spark, corpus_path, tmp_path):
+    """input_hint contract: a corrupted content row fails the build
+    BEFORE any index work, with a machine-readable error."""
+    from pyspark.sql import functions as F
+    from search_engine_spark.session import package_zip
+
+    bad = str(tmp_path / "bad_corpus.parquet")
+    (
+        spark.read.parquet(corpus_path)
+        .withColumn(
+            "content",
+            F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+                F.col("content")
+            ),
+        )
+        .write.parquet(bad)
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "build_index_job.py"),
+            "--input", bad,
+            "--output", str(tmp_path / "idx"),
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/tmp", env=env,
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-1500:])
+    err = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert err == {"error": "sha256_mismatch", "mismatching_rows": 1}
