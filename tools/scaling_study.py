@@ -8,6 +8,14 @@ Levels are interleaved across passes so slow drift in VM noise hits all
 levels equally. Results accumulate in /tmp/scaling_study.json.
 
 Usage: python tools/scaling_study.py [--levels 1,2,4,8,32] [--passes 2]
+
+CAUTION (both bit this round): (1) the state file RESUMES — runs and
+the hardware ceiling from a previous invocation (possibly previous-round
+CODE) are kept and mixed into the summary; delete the --out file or use
+a fresh path when the code under test changed. A loud note prints when
+existing state is loaded. (2) at --docs 2000000 the 32-thread level
+needs SPARK_GRAFT_DRIVER_MEM=48g (the 16g default OOMs in the cache
+materialization).
 """
 
 from __future__ import annotations
@@ -89,6 +97,13 @@ def main() -> None:
     state: dict = {"hw_throughput": {}, "runs": []}
     if os.path.exists(OUT):
         state = json.load(open(OUT))
+        print(
+            f"RESUMING from {OUT}: {len(state.get('runs', []))} prior "
+            "runs and the prior hw ceiling will be kept and mixed into "
+            "the summary — delete the file first if the code under test "
+            "changed",
+            flush=True,
+        )
 
     if not state["hw_throughput"]:
         state["hw_throughput"] = hardware_ceiling(sorted(set(levels)))
