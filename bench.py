@@ -503,8 +503,19 @@ def _scaling_summary() -> dict | None:
             state = json.load(open(path))
             best: dict[tuple[int, int], float] = {}
             for r in state.get("runs", []):
-                key = (r.get("n_docs", 0), r["cores"])
-                for t in r.get("build_secs", [r.get("build_sec")]):
+                # skip legacy/malformed records explicitly instead of
+                # letting a None timing or missing n_docs poison the
+                # whole summary (the blanket except below would drop
+                # EVERY study, and n_docs=0 buckets are meaningless)
+                if "n_docs" not in r or "cores" not in r:
+                    continue
+                ts = r.get("build_secs") or (
+                    [r["build_sec"]] if r.get("build_sec") is not None else []
+                )
+                key = (r["n_docs"], r["cores"])
+                for t in ts:
+                    if t is None:
+                        continue
                     if key not in best or t < best[key]:
                         best[key] = t
             for nd in sorted({k[0] for k in best}):

@@ -526,11 +526,13 @@ def merge_indexes(
 
     docs = None
     if a.docs is not None and b.docs is not None:
-        common = [c for c in a.docs.columns if c in set(b.docs.columns)]
+        # keep the UNION of columns: a delta built from raw docs lacks
+        # page_rank (and may lack sha256) — those must survive the merge
+        # with nulls on the delta rows (the query path fillna(0.0)s
+        # page_rank), not be silently dropped by a column intersection
         docs = (
-            a.docs.select(common)
-            .join(b_ids, "doc_id", "left_anti")
-            .unionByName(b.docs.select(common))
+            a.docs.join(b_ids, "doc_id", "left_anti")
+            .unionByName(b.docs, allowMissingColumns=True)
         )
     return _incremental_rebuild(
         a,

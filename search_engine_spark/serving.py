@@ -93,6 +93,10 @@ class ServingIndex:
         # set by load_latest/refresh when serving a published root
         self.generation: int | None = None
         self._root: str | None = None
+        # True iff the page_rank map was supplied by the caller of
+        # load()/load_latest() (vs auto-armed from the saved docs
+        # projection); refresh() only carries an explicit map forward
+        self._pr_explicit = False
         # set by attach_docs: source-corpus parquet for snippet fetch
         self._docs_path: str | None = None
         self._docs_text_col = "content"
@@ -105,6 +109,7 @@ class ServingIndex:
         """Read ``Index.save`` artifacts with pyarrow — no Spark."""
         import dataclasses
 
+        pr_explicit = page_rank is not None
         meta_file = sorted(
             glob.glob(os.path.join(path, "meta", "part-*"))
         )[0]
@@ -166,11 +171,13 @@ class ServingIndex:
                     )
                     if r is not None
                 }
-        return cls(
+        srv = cls(
             enc_rows, idf, d_ids[order], d_len[order],
             int(meta["n_docs"]), float(meta["avgdl"]), cfg,
             page_rank=page_rank,
         )
+        srv._pr_explicit = pr_explicit
+        return srv
 
     @classmethod
     def load_latest(
@@ -207,7 +214,13 @@ class ServingIndex:
         ptr = read_latest(self._root)
         if ptr is None or ptr["generation"] == self.generation:
             return False
-        fresh = ServingIndex.load_latest(self._root, page_rank=self._pr)
+        # only an explicitly supplied PageRank map survives a generation
+        # swap; an auto-armed one must re-arm from the NEW generation's
+        # docs projection (else gen-K ranks would shadow gen K+1's)
+        fresh = ServingIndex.load_latest(
+            self._root,
+            page_rank=self._pr if self._pr_explicit else None,
+        )
         hits, misses = self.cache_hits, self.cache_misses
         self.__dict__.update(fresh.__dict__)
         self.cache_hits, self.cache_misses = hits, misses
@@ -310,6 +323,10 @@ class ServingIndex:
         op, left, right = detect_operator(query)
         comp = self._component(left)
         if op == "OR":
+            # _component may return the dict object stored in the
+            # unbounded phrase cache (phrase on the LEFT of OR) — merge
+            # into a fresh dict so the union never pollutes the cache
+            comp = dict(comp)
             rm = self._component(right)
             # quirk Q5 union: (doc, term) pairs merge; values identical
             # per pair, so a per-term id-union suffices

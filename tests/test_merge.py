@@ -211,3 +211,24 @@ def test_clean_shards_pass_through_without_regroup(spark, store_arrays):
             rebuilt[k].bm25_tf_enc
         ), k
         assert m_rows[k].block_max == rebuilt[k].block_max, k
+
+
+def test_merge_keeps_base_docs_columns(spark, split_corpus):
+    """Regression (ADVICE r03): a delta built from raw docs lacks
+    page_rank; the merged docs projection used to keep only the column
+    INTERSECTION, silently dropping the base's page_rank. It must keep
+    the union — base values intact, delta rows null."""
+    _, a, b = split_corpus
+    a_pr = a.withColumn("page_rank", F.lit(0.25))
+    b_delta = b.filter(F.col("doc_id") >= 160)  # no overlap, no page_rank
+    merged = merge_indexes(
+        build_index(a_pr, cfg=TEST_CFG), build_index(b_delta, cfg=TEST_CFG)
+    )
+    assert "page_rank" in merged.docs.columns
+    rows = {r.doc_id: r.page_rank for r in
+            merged.docs.select("doc_id", "page_rank").collect()}
+    assert all(abs(rows[i] - 0.25) < 1e-9 for i in range(0, 160))
+    assert all(rows[i] is None for i in range(160, 240))
+    # sha256 projection also survives on both sides
+    assert "sha256" in merged.docs.columns
+    assert merged.docs.filter(F.col("sha256").isNull()).count() == 0

@@ -132,3 +132,30 @@ def test_latest_pointer_is_atomic_json(root):
         ptr
     )
     assert not os.path.exists(os.path.join(d, "LATEST.tmp"))
+
+
+def test_refresh_rearms_auto_pagerank(spark, tmp_path):
+    """Regression (ADVICE r03): refresh() used to carry the OLD
+    generation's auto-armed PageRank map forward, so gen K's ranks
+    shadowed gen K+1's docs forever. An auto-armed map must re-arm
+    from the new generation; an explicit map must survive."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pr_root")
+    base = generate_corpus(spark, 150, seed=9).cache()
+    idx0 = build_index(base.withColumn("page_rank", F.lit(0.1)), cfg=CFG)
+    idx1 = build_index(base.withColumn("page_rank", F.lit(0.9)), cfg=CFG)
+    publish_index(idx0, root)
+
+    srv = ServingIndex.load_latest(root)
+    assert srv._pr and not srv._pr_explicit
+    assert abs(next(iter(srv._pr.values())) - 0.1) < 1e-9
+    publish_index(idx1, root)
+    assert srv.refresh() is True
+    assert abs(next(iter(srv._pr.values())) - 0.9) < 1e-9
+
+    srv2 = ServingIndex.load_latest(root, page_rank={0: 0.5})
+    assert srv2._pr_explicit
+    publish_index(idx0, root)
+    assert srv2.refresh() is True
+    assert srv2._pr == {0: 0.5} and srv2._pr_explicit

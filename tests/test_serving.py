@@ -304,3 +304,18 @@ def test_saved_index_without_docs_loads_clean(spark, tmp_path):
     loaded = Index.load(spark, d)
     assert loaded.docs is None
     assert search(loaded, "banana recipe", k=3).count() > 0
+
+
+def test_or_phrase_left_does_not_pollute_phrase_cache(saved):
+    """Regression (ADVICE r03): the OR branch used to merge the right
+    component INTO the dict object stored in the unbounded phrase
+    cache, so '"p" OR x' permanently contaminated later bare '"p"'
+    queries with x's docs. The union must build a fresh dict."""
+    d, _idx, _docs = saved
+    baseline = ServingIndex.load(d).search('"banana recipe"', k=10)
+    srv = ServingIndex.load(d)
+    srv.search('"banana recipe" OR spark', k=10)
+    assert srv.search('"banana recipe"', k=10) == baseline
+    # the cached component itself must hold only the phrase's stems
+    comp = srv._phrase_cache['"banana recipe"']
+    assert set(comp) <= {"banana", "recip"}
