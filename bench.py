@@ -216,40 +216,48 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
         timings["ann_cosine"] = round(time.perf_counter() - t0, 4)
 
-        # approximate ANN paths: per-query latency timed on the vec-0
-        # query; recall measured vs brute force AVERAGED over 5 query
-        # vectors (single-query recall at k=10 is tail-luck-dominated —
-        # the per-plane sign agreement matches the Goemans-Williamson
-        # expectation to 3 decimals on this corpus, but 10 neighbors x
-        # 6 planes is a tiny sample). LSH probes hamming radius 2
-        # (22/64 buckets); IVF probes 2 of 8 clusters.
+        # approximate ANN paths at the PRODUCT DEFAULTS (round-4):
+        # adaptive probe widths + PQ-ADC screen + exact rerank. Recall
+        # measured vs brute force AVERAGED over 5 query vectors
+        # (single-query recall at k=10 is tail-luck-dominated). See
+        # BENCH.md "ANN recall-vs-cost" for the full sweep and the
+        # 480k-vector wall-time comparison.
         from search_engine_spark.operators.similarity import (
             ivf_assign,
             ivf_topk,
             kmeans_centroids,
             lsh_topk,
+            pq_attach,
+            pq_topk,
+            train_pq,
         )
+
+        dim = len(qvec)
+        t0 = time.perf_counter()
+        cb = train_pq(emb, dim=dim, ks=256, iters=8)
+        enc = pq_attach(emb, cb).persist()
+        enc.count()
+        timings["pq_train"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        pq_topk(enc, cb, qvec, k=10, exclude_ids=[0]).collect()
+        timings["pq_ann"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
         lsh_topk(
-            emb,
-            qvec,
-            dim=len(qvec),
-            k=10,
-            n_planes=6,
-            probe_radius=2,
+            enc, qvec, dim=dim, k=10, n_planes=6, codebooks=cb,
             exclude_ids=[0],
         ).collect()
         timings["lsh_ann"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
-        cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
-        assigned = ivf_assign(emb, cents).persist()
+        cents = kmeans_centroids(emb, dim=dim, n_centroids=8, iters=2)
+        assigned = pq_attach(ivf_assign(emb, cents), cb).persist()
         assigned.count()
         timings["ivf_train"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         ivf_topk(
-            assigned, cents, qvec, k=10, n_probe=2, exclude_ids=[0]
+            assigned, cents, qvec, k=10, codebooks=cb, exclude_ids=[0]
         ).collect()
         timings["ivf_ann"] = round(time.perf_counter() - t0, 4)
 
@@ -257,7 +265,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             (r["vec_id"], [float(x) for x in r["embedding"]])
             for r in emb.where(F.col("vec_id") < 5).collect()
         ]
-        lsh_hits = ivf_hits = exact_n = 0
+        lsh_hits = ivf_hits = pq_hits = exact_n = 0
         for vid, qv in recall_q:
             ex = {
                 r["vec_id"]
@@ -268,27 +276,32 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             lsh = {
                 r["vec_id"]
                 for r in lsh_topk(
-                    emb,
-                    qv,
-                    dim=len(qv),
-                    k=10,
-                    n_planes=6,
-                    probe_radius=2,
+                    enc, qv, dim=dim, k=10, n_planes=6, codebooks=cb,
                     exclude_ids=[vid],
                 ).collect()
             }
             ivf = {
                 r["vec_id"]
                 for r in ivf_topk(
-                    assigned, cents, qv, k=10, n_probe=2, exclude_ids=[vid]
+                    assigned, cents, qv, k=10, codebooks=cb,
+                    exclude_ids=[vid],
+                ).collect()
+            }
+            pq = {
+                r["vec_id"]
+                for r in pq_topk(
+                    enc, cb, qv, k=10, exclude_ids=[vid]
                 ).collect()
             }
             exact_n += len(ex)
             lsh_hits += len(lsh & ex)
             ivf_hits += len(ivf & ex)
+            pq_hits += len(pq & ex)
         assigned.unpersist()
+        enc.unpersist()
         recall_lsh = lsh_hits / max(exact_n, 1)
         recall_ivf = ivf_hits / max(exact_n, 1)
+        recall_pq = pq_hits / max(exact_n, 1)
 
         # training-pipeline ops (round 3): eval-set decontamination and
         # LM sequence packing over the documents table
@@ -318,8 +331,98 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             "serving_cached_ms": round(serving_cached_ms, 4),
             "ann_recall_lsh": round(recall_lsh, 3),
             "ann_recall_ivf": round(recall_ivf, 3),
+            "ann_recall_pq": round(recall_pq, 3),
             "timings": timings,
         }
+    finally:
+        spark.stop()
+
+
+def run_micro(cores: int, sf_dir: str) -> dict:
+    """ONLY the sub-10-second pipeline rows (dedup/ANN/decontam/pack),
+    no index build — used by tools/micro_variance.py to quantify the
+    VM's run-to-run noise with fresh-process repeats (the r03 verdict's
+    unexplained +56% minhash_lsh drift ask). Keep the op set and params
+    in lockstep with run_bench so the numbers are comparable."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from search_engine_spark.operators.decontam import decontaminate
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+        lsh_topk,
+        pq_attach,
+        pq_topk,
+        train_pq,
+    )
+    from search_engine_spark.operators.textstats import pack_sequences
+
+    spark = _mk_spark(cores, shuffle_parts=max(2 * cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(max(2 * cores, 8)).persist()
+        docs.count()
+        timings: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        exact_dedup(docs).count()
+        timings["dedup_exact"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(docs, num_hashes=4, threshold=0.8).count()
+        timings["minhash_lsh"] = round(time.perf_counter() - t0, 4)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        t0 = time.perf_counter()
+        cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
+        timings["ann_cosine"] = round(time.perf_counter() - t0, 4)
+
+        dim = len(qvec)
+        t0 = time.perf_counter()
+        cb = train_pq(emb, dim=dim, ks=256, iters=8)
+        enc = pq_attach(emb, cb).persist()
+        enc.count()
+        timings["pq_train"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        pq_topk(enc, cb, qvec, k=10, exclude_ids=[0]).collect()
+        timings["pq_ann"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        lsh_topk(
+            enc, qvec, dim=dim, k=10, n_planes=6, codebooks=cb,
+            exclude_ids=[0],
+        ).collect()
+        timings["lsh_ann"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        cents = kmeans_centroids(emb, dim=dim, n_centroids=8, iters=2)
+        assigned = pq_attach(ivf_assign(emb, cents), cb).persist()
+        assigned.count()
+        timings["ivf_train"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        ivf_topk(
+            assigned, cents, qvec, k=10, codebooks=cb, exclude_ids=[0]
+        ).collect()
+        timings["ivf_ann"] = round(time.perf_counter() - t0, 4)
+
+        ev = docs.where(F.col("doc_id") % 41 == 0)
+        t0 = time.perf_counter()
+        decontaminate(docs, ev, text_col="text", n=13).count()
+        timings["decontam"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        pack_sequences(docs, budget=2048, text_col="text").count()
+        timings["pack_sequences"] = round(time.perf_counter() - t0, 4)
+        return {"cores": cores, "micro": timings}
     finally:
         spark.stop()
 
@@ -425,6 +528,11 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--micro" in sys.argv:
+        # sub-10s rows only, fresh-process friendly (variance study)
+        print(json.dumps(run_micro(cores, sf_dir)))
+        return
+
     if "--scaling-one" in sys.argv:
         # single parallelism level in a fresh process (used by
         # tools/scaling_study.py to decorrelate levels from VM noise)
@@ -478,6 +586,7 @@ def main() -> None:
         "serving_cached_ms": r["serving_cached_ms"],
         "ann_recall_lsh": r["ann_recall_lsh"],
         "ann_recall_ivf": r["ann_recall_ivf"],
+        "ann_recall_pq": r["ann_recall_pq"],
     }
     scaling = _scaling_summary()
     if scaling:

@@ -1183,17 +1183,24 @@ SQL_PAGERANK_FIXED = _sql_pagerank_fixed()
 
 
 def q_lsh_ann(spark, sf_dir):
-    """Random-hyperplane LSH ANN (bucketed) — the scale path for
-    similarity search; checked rows-only (recall vs brute force is a
-    pytest assertion)."""
-    from search_engine_spark.operators.similarity import lsh_topk
+    """Random-hyperplane LSH ANN at the PRODUCT defaults (adaptive
+    multiprobe radius + PQ-ADC screen over the probed buckets, exact
+    rerank); checked rows-only (recall vs brute force is a pytest
+    assertion)."""
+    from search_engine_spark.operators.similarity import (
+        lsh_topk,
+        pq_attach,
+        train_pq,
+    )
 
     emb = _table(spark, sf_dir, "embeddings")
     row = emb.where(F.col("vec_id") == 0).collect()[0]
     qvec = [float(x) for x in row["embedding"]]
-    return lsh_topk(emb, qvec, dim=len(qvec), k=10, n_planes=6).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
-    )
+    cb = train_pq(emb, dim=len(qvec), m=8, ks=64, iters=4)
+    return lsh_topk(
+        pq_attach(emb, cb), qvec, dim=len(qvec), k=10, n_planes=6,
+        codebooks=cb,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_lsh_ann_exact(spark, sf_dir):
@@ -1284,10 +1291,62 @@ def q_ivf_ann(spark, sf_dir):
     row = emb.where(F.col("vec_id") == 0).first()
     qvec = [float(x) for x in row["embedding"]]
     cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
-    assigned = ivf_assign(emb, cents)
-    return ivf_topk(assigned, cents, qvec, k=10, n_probe=2).select(
+    from search_engine_spark.operators.similarity import (
+        pq_attach,
+        train_pq,
+    )
+
+    cb = train_pq(emb, dim=len(qvec), m=8, ks=64, iters=4)
+    assigned = pq_attach(ivf_assign(emb, cents), cb)
+    # product defaults: adaptive n_probe + IVF-PQ screen/rerank
+    return ivf_topk(assigned, cents, qvec, k=10, codebooks=cb).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+def q_pq_ann_exact(spark, sf_dir):
+    """Product-quantization ANN with pool >= n_rows: the exact-rerank
+    set is the whole table, so the result is value-identical to
+    brute-force cosine — shares SQL_ANN_COSINE (same trick as the
+    lsh/ivf exactness dials). Pins train_pq + pq_attach + the ADC
+    screen end-to-end under the DuckDB oracle."""
+    from search_engine_spark.operators.similarity import (
+        pq_attach,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cb = train_pq(emb, dim=len(qvec), m=8, ks=64, iters=4)
+    return pq_topk(
+        pq_attach(emb, cb), cb, qvec, k=10, pool=1_000_000_000,
+        exclude_ids=[0],
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_pq_ann(spark, sf_dir):
+    """PQ screen + exact rerank at the DEFAULT pool (rows-only: the
+    screen is approximate; recall >= 0.8 vs brute force is a pytest
+    assertion and a BENCH.md row)."""
+    from search_engine_spark.operators.similarity import (
+        pq_attach,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cb = train_pq(emb, dim=len(qvec), m=8, ks=64, iters=4)
+    return pq_topk(
+        pq_attach(emb, cb), cb, qvec, k=10, exclude_ids=[0]
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_media_stats(spark, sf_dir):
@@ -1688,6 +1747,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle SQL) by design.
     "decontam": q_decontam,
     "pagerank_fixed": q_pagerank_fixed,
+    "pq_ann_exact": q_pq_ann_exact,
+    "pq_ann": q_pq_ann,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1747,4 +1808,5 @@ ORACLE_SQL: dict[str, str] = {
     "url_normalize": SQL_URL_NORMALIZE,
     "streaming_topk": SQL_BM25_TOPK,
     "decontam": SQL_DECONTAM,
+    "pq_ann_exact": SQL_ANN_COSINE,
 }

@@ -21,11 +21,41 @@ old per-dimension literal expressions put ~6k literals in a single
 Catalyst tree (analysis/codegen blow-up); a closure-captured numpy
 matrix is O(1) plan nodes at any dimension.
 
+* ``train_pq`` / ``pq_attach`` / ``pq_topk`` — product quantization
+  (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  TPAMI 2011): each vector is compressed to ``m`` one-byte codes
+  (64 B float32 → 16 B at dim=64, m=16); a query scores ALL rows from
+  an (m × ks) lookup table built once on the driver (asymmetric
+  distance computation), keeps a small candidate ``pool`` and reranks
+  it at full precision. The ADC scan is PURE JVM column algebra —
+  ``element_at`` against m constant-array literals summed — so the
+  screen stays inside whole-stage codegen (a first cut as an Arrow UDF
+  measured SLOWER than brute force at 480k rows: per-row Python object
+  overhead swamped the 8-byte payload). Unlike bucket pruning, the
+  screen is distribution-robust — on a near-uniform corpus where
+  IVF/LSH need 60-75 %% of the rows probed for 0.85 neighbor coverage
+  (measured, see BENCH.md), PQ reads m ints/row instead of the full
+  vector and does m O(1) lookups instead of dim multiplies, and its
+  recall is set by quantization accuracy, not bucket luck: measured
+  0.90 recall@10 at pool=100 on 480k worst-case vectors (m=16,
+  ks=256).
+
 Exactness dials (used by the driver correctness gate):
   * ``lsh_topk(..., probe_radius=n_planes)`` scans every bucket →
     result == ``cosine_topk`` (shares its SQL oracle).
   * ``ivf_topk(..., n_probe=n_centroids)`` probes every cluster →
     result == ``cosine_topk``.
+  * exhaustive dials always take the full-precision scoring path even
+    when a ``pq_code`` column is present — the PQ screen only engages
+    on genuinely approximate probes.
+
+Default (approximate) dials are ADAPTIVE and sized for the measured
+worst case (near-uniform synthetic embeddings, top-10 neighbor cosine
+0.25-0.44): ``ivf_topk(n_probe=None)`` probes ceil(0.7·C) clusters and
+``lsh_topk(probe_radius=None)`` probes hamming radius ceil(0.6·planes)
+— both ≥0.85 neighbor coverage on that corpus — and both auto-engage
+the PQ screen+rerank when the index table carries codes, holding wall
+cost well under 1/3 of brute force (recall-vs-cost curve in BENCH.md).
 """
 
 from __future__ import annotations
@@ -157,26 +187,49 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
-    probe_radius: int = 0,
+    probe_radius: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    codebooks: "PQCodebooks | None" = None,
+    pool: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score the query's LSH bucket plus (multiprobe) all
-    buckets within ``probe_radius`` hamming distance — radius 1 roughly
-    doubles recall for (n_planes+1)× the scanned fraction;
+    buckets within ``probe_radius`` hamming distance;
     radius == n_planes scans everything and equals ``cosine_topk``
     exactly (the driver-gate configuration). At scale the bucketed table
     is written partitioned by ``bucket`` so the filter prunes to the
-    probed partitions."""
+    probed partitions.
+
+    ``probe_radius=None`` → adaptive default ceil(0.6·n_planes): the
+    radius that holds ≥0.85 neighbor coverage on the measured
+    worst-case corpus (near-uniform embeddings — see module docstring
+    and BENCH.md's recall-latency curve). When ``embeddings`` carries a
+    ``pq_code`` column (``pq_attach``) and ``codebooks`` is given, a
+    non-exhaustive probe scores the probed rows with the PQ-ADC screen
+    and reranks ``pool`` candidates at full precision instead of
+    brute-forcing every probed row."""
+    if probe_radius is None:
+        probe_radius = max(1, -(-6 * n_planes // 10))  # ceil(0.6·planes)
     qb = lsh_query_bucket(query_vec, dim, n_planes)
     bucketed = lsh_assign_buckets(embeddings, dim, n_planes, id_col, vec_col)
     if probe_radius <= 0:
         probed = bucketed.where(F.col("bucket") == qb)
-    else:
+    elif probe_radius < n_planes:
         probed = bucketed.where(
             F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb)))
             <= probe_radius
+        )
+    else:
+        probed = bucketed  # exhaustive dial: no filter, exact path
+    if (
+        codebooks is not None
+        and probe_radius < n_planes
+        and "pq_code" in probed.columns
+    ):
+        return pq_topk(
+            probed, codebooks, query_vec, k=k,
+            pool=pool, vec_col=vec_col, exclude_ids=exclude_ids,
         )
     return cosine_topk(
         probed,
@@ -307,26 +360,283 @@ def ivf_topk(
     cents: list[list[float]],
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    codebooks: "PQCodebooks | None" = None,
+    pool: int | None = None,
 ) -> DataFrame:
     """ANN top-k: rank centroids by distance to the query on the driver,
-    brute-force cosine inside the ``n_probe`` nearest clusters only.
+    score inside the ``n_probe`` nearest clusters only.
     ``n_probe == len(cents)`` probes everything and equals
     ``cosine_topk`` exactly; recall at lower n_probe is pinned in
-    tests."""
+    tests.
+
+    ``n_probe=None`` → adaptive default max(4, ceil(0.7·n_centroids)):
+    the probe width that holds ≥0.85 neighbor coverage on the measured
+    worst-case corpus (the textbook √C heuristic tops out at ~0.58
+    coverage there — BENCH.md carries both curves). When ``assigned``
+    carries a ``pq_code`` column and ``codebooks`` is given, a
+    non-exhaustive probe runs the PQ-ADC screen + full-precision rerank
+    (IVF-PQ) instead of brute-forcing every probed row."""
+    n_cents = len(cents)
+    if n_probe is None:
+        n_probe = max(4, -(-7 * n_cents // 10))  # ceil(0.7·C), floor 4
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = [
         float(((np.asarray(c) - q) ** 2).sum()) for c in cents
     ]
-    probe = sorted(range(len(cents)), key=lambda i: d2[i])[:n_probe]
+    probe = sorted(range(n_cents), key=lambda i: d2[i])[:n_probe]
+    probed = (
+        assigned
+        if n_probe >= n_cents
+        else assigned.where(F.col("cluster").isin(probe))
+    )
+    if (
+        codebooks is not None
+        and n_probe < n_cents
+        and "pq_code" in probed.columns
+    ):
+        return pq_topk(
+            probed, codebooks, query_vec, k=k,
+            pool=pool, vec_col=vec_col, exclude_ids=exclude_ids,
+        )
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     v = as_double_array(F.col(vec_col))
-    out = assigned.where(F.col("cluster").isin(probe)).select(
+    out = probed.select(
         "vec_id",
         (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
     )
     if exclude_ids:
         out = out.where(~F.col("vec_id").isin(exclude_ids))
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-scan ANN, the
+# distribution-robust screen (Jégou/Douze/Schmid, TPAMI 2011)
+# --------------------------------------------------------------------------
+
+
+class PQCodebooks:
+    """Per-subspace centroid tables: ``cents`` is (m, ks, dim//m)
+    float64. Train once (on a sample at scale), ship by closure into
+    the encode/screen UDFs — no stored model files needed; the object
+    round-trips through ``to_json``/``from_json`` for persistence."""
+
+    def __init__(self, cents: np.ndarray, dim: int):
+        self.cents = np.asarray(cents, dtype=np.float64)
+        self.m = self.cents.shape[0]
+        self.ks = self.cents.shape[1]
+        self.dim = dim
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible by m {self.m}")
+        self.sub = dim // self.m
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {"dim": self.dim, "cents": self.cents.tolist()}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PQCodebooks":
+        import json
+
+        o = json.loads(s)
+        return cls(np.asarray(o["cents"]), int(o["dim"]))
+
+
+def train_pq(
+    emb: DataFrame,
+    dim: int,
+    m: int | None = None,
+    ks: int = 256,
+    iters: int = 8,
+    sample_size: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQCodebooks:
+    """Train PQ codebooks: deterministic hash-sample of
+    ``sample_size`` rows (smallest crc32(id) — TakeOrderedAndProject,
+    no global Window), then driver-side vectorized Lloyd per subspace.
+    At 100 TB the sample IS the training set — 64k × dim doubles on the
+    driver regardless of corpus size. Vectors are L2-normalized before
+    quantization (the screen approximates COSINE, so codebooks live on
+    the unit sphere; zero vectors stay zero).
+
+    ``m=None`` auto-picks the largest of (16, 8, 4, 2, 1) dividing
+    ``dim``: m=16/ks=256 holds 0.90 recall@10 at the default pool on
+    480k worst-case vectors, where m=8 has decayed to 0.46 (the
+    quantization-error competitors grow with N)."""
+    if m is None:
+        m = next(c for c in (16, 8, 4, 2, 1) if dim % c == 0)
+    rows = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .orderBy(F.crc32(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[1] != dim:
+        raise ValueError(f"expected (n, {dim}) sample, got {X.shape}")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.where(norms > 0, X / np.where(norms == 0, 1.0, norms), 0.0)
+    ks = min(ks, X.shape[0])
+    sub = dim // m
+    cents = np.zeros((m, ks, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cen = Xs[:ks].copy()  # hash-sample order is already pseudo-random
+        for _ in range(iters):
+            # ||x-c||² argmin via the same const - 2·x·c trick as
+            # _assign_clusters; (n, ks) fits: 64k × 256 doubles = 128 MB
+            d2 = (cen * cen).sum(axis=1) - 2.0 * (Xs @ cen.T)
+            a = np.argmin(d2, axis=1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    cen[c] = Xs[mask].mean(axis=0)
+        cents[s] = cen
+    return PQCodebooks(cents, dim)
+
+
+def pq_attach(
+    df: DataFrame,
+    codebooks: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``pq_code`` (array<int>, m entries) and ``vec_norm``
+    (double) — the compressed scan columns. Narrow (no shuffle); one
+    Arrow UDF with the closure-captured codebook tensor (encode is a
+    one-time index-build step; the per-QUERY scan touches no Python).
+    At scale these two columns are what the ANN scan READS — m ints
+    per row instead of the full float vector."""
+    C = codebooks.cents  # (m, ks, sub)
+    m, _ks, sub = C.shape
+    dim = codebooks.dim
+    c2 = (C * C).sum(axis=2)  # (m, ks)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("pq_code", T.ArrayType(T.IntegerType())),
+                T.StructField("vec_norm", T.DoubleType()),
+            ]
+        )
+    )
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        codes = [None] * n
+        norms = np.zeros(n, dtype=np.float64)
+        valid_idx, valid_rows = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if arr.shape == (dim,):
+                valid_idx.append(i)
+                valid_rows.append(arr)
+        if valid_rows:
+            M = np.stack(valid_rows)  # (nv, dim)
+            nv = M.shape[0]
+            nrm = np.linalg.norm(M, axis=1)
+            Mn = np.where(
+                nrm[:, None] > 0, M / np.where(nrm == 0, 1.0, nrm)[:, None],
+                0.0,
+            )
+            out_codes = np.zeros((nv, m), dtype=np.int32)
+            for s in range(m):
+                Xs = Mn[:, s * sub : (s + 1) * sub]
+                d2 = c2[s] - 2.0 * (Xs @ C[s].T)  # (nv, ks)
+                out_codes[:, s] = np.argmin(d2, axis=1).astype(np.int32)
+            for j, i in enumerate(valid_idx):
+                codes[i] = out_codes[j].tolist()
+                norms[i] = nrm[j]
+        return pd.DataFrame({"pq_code": codes, "vec_norm": norms})
+
+    enc = encode(F.col(vec_col))
+    out = df.withColumn("_pq", enc).select(
+        "*", F.col("_pq.pq_code").alias("pq_code"),
+        F.col("_pq.vec_norm").alias("vec_norm"),
+    ).drop("_pq")
+    if id_col != "vec_id":
+        out = out.withColumnRenamed(id_col, "vec_id")
+    return out
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: PQCodebooks,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int | None = None,
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ANN top-k by PQ screen + exact rerank: approximate cosine for
+    every row from an (m × ks) driver-built lookup table over the
+    ``pq_code`` ints (asymmetric distance computation), keep the top
+    ``pool`` (default max(10·k, 100)) as TakeOrderedAndProject, rerank
+    those at full precision, return exact-cosine top-k. The screen is
+    pure JVM: Σ_s element_at(<constant 256-double array>, code[s]+1)
+    inside whole-stage codegen — rows with NULL codes sort last (NULL
+    approx). One plan, two narrow scans — no shuffle, no bucket
+    coverage cliff: recall is set by quantization accuracy, not by
+    which bucket a neighbor landed in.
+    ``pool >= n_rows`` degenerates to exact ``cosine_topk`` (the gate
+    dial); pools >= 1e6 skip the screen entirely rather than sizing a
+    TakeOrdered priority queue by the limit (a 1e9 limit allocates a
+    1e9-slot heap per task — measured OOM)."""
+    if pool is None:
+        pool = max(10 * k, 100)
+    if pool >= 1_000_000:
+        # exact dial: rerank every row at full precision — no screen
+        out = encoded
+        if exclude_ids:
+            out = out.where(~F.col("vec_id").isin(exclude_ids))
+        v = as_double_array(F.col(vec_col))
+        qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            out.select(
+                "vec_id",
+                (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k)
+        )
+    C = codebooks.cents
+    m, _ks, sub = C.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    qu = q / qn if qn > 0 else q
+    # LUT[s, c] = cents[s][c] · q_sub(s): approx dot on the unit sphere
+    lut = np.stack(
+        [C[s] @ qu[s * sub : (s + 1) * sub] for s in range(m)]
+    )  # (m, ks) float64
+    code = F.col("pq_code")
+    approx: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.lit([float(x) for x in lut[s]]), code[s] + F.lit(1)
+        )
+        approx = term if approx is None else approx + term
+    scr = encoded.withColumn("_approx", approx)
+    if exclude_ids:
+        scr = scr.where(~F.col("vec_id").isin(exclude_ids))
+    cand = scr.orderBy(F.desc("_approx"), F.asc("vec_id")).limit(pool)
+    v = as_double_array(F.col(vec_col))
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            "vec_id",
+            (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
