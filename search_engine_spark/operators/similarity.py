@@ -27,18 +27,20 @@ matrix is O(1) plan nodes at any dimension.
   (64 B float32 → 16 B at dim=64, m=16); a query scores ALL rows from
   an (m × ks) lookup table built once on the driver (asymmetric
   distance computation), keeps a small candidate ``pool`` and reranks
-  it at full precision. The ADC scan is PURE JVM column algebra —
-  ``element_at`` against m constant-array literals summed — so the
-  screen stays inside whole-stage codegen (a first cut as an Arrow UDF
-  measured SLOWER than brute force at 480k rows: per-row Python object
-  overhead swamped the 8-byte payload). Unlike bucket pruning, the
+  it at full precision. Codes are PACKED 8-per-int64 into plain bigint
+  columns (``pq_w0..``), so the ADC scan is one Arrow batch of int64
+  numpy arrays — view-as-uint8 + LUT fancy-gather, zero Python objects
+  per row. Measured per-2M-row scan: 0.75 s packed-Arrow vs 1.6 s JVM
+  element_at on a broadcast LUT vs 4.2 s element_at on array literals
+  (F.lit(list) plans as per-row CreateArray!) vs 1.19 s/480k-row
+  zip_with brute dot — the packed-Arrow screen is the only shape that
+  lands the scan at ~1/6 of brute cost. Unlike bucket pruning, the
   screen is distribution-robust — on a near-uniform corpus where
   IVF/LSH need 60-75 %% of the rows probed for 0.85 neighbor coverage
-  (measured, see BENCH.md), PQ reads m ints/row instead of the full
-  vector and does m O(1) lookups instead of dim multiplies, and its
-  recall is set by quantization accuracy, not bucket luck: measured
-  0.90 recall@10 at pool=100 on 480k worst-case vectors (m=16,
-  ks=256).
+  (measured, see BENCH.md), PQ reads 2 bigints/row instead of the
+  full vector, and its recall is set by quantization accuracy, not
+  bucket luck: measured 0.90 recall@10 at pool=100 on 480k worst-case
+  vectors (m=16, ks=256).
 
 Exactness dials (used by the driver correctness gate):
   * ``lsh_topk(..., probe_radius=n_planes)`` scans every bucket →
@@ -46,7 +48,7 @@ Exactness dials (used by the driver correctness gate):
   * ``ivf_topk(..., n_probe=n_centroids)`` probes every cluster →
     result == ``cosine_topk``.
   * exhaustive dials always take the full-precision scoring path even
-    when a ``pq_code`` column is present — the PQ screen only engages
+    when packed ``pq_w*`` code columns are present — the PQ screen only engages
     on genuinely approximate probes.
 
 Default (approximate) dials are ADAPTIVE and sized for the measured
@@ -205,7 +207,7 @@ def lsh_topk(
     radius that holds ≥0.85 neighbor coverage on the measured
     worst-case corpus (near-uniform embeddings — see module docstring
     and BENCH.md's recall-latency curve). When ``embeddings`` carries a
-    ``pq_code`` column (``pq_attach``) and ``codebooks`` is given, a
+    packed code columns (``pq_attach``) and ``codebooks`` is given, a
     non-exhaustive probe scores the probed rows with the PQ-ADC screen
     and reranks ``pool`` candidates at full precision instead of
     brute-forcing every probed row."""
@@ -225,7 +227,7 @@ def lsh_topk(
     if (
         codebooks is not None
         and probe_radius < n_planes
-        and "pq_code" in probed.columns
+        and set(codebooks.word_cols) <= set(probed.columns)
     ):
         return pq_topk(
             probed, codebooks, query_vec, k=k,
@@ -376,7 +378,7 @@ def ivf_topk(
     the probe width that holds ≥0.85 neighbor coverage on the measured
     worst-case corpus (the textbook √C heuristic tops out at ~0.58
     coverage there — BENCH.md carries both curves). When ``assigned``
-    carries a ``pq_code`` column and ``codebooks`` is given, a
+    carries the packed code columns and ``codebooks`` is given, a
     non-exhaustive probe runs the PQ-ADC screen + full-precision rerank
     (IVF-PQ) instead of brute-forcing every probed row."""
     n_cents = len(cents)
@@ -395,7 +397,7 @@ def ivf_topk(
     if (
         codebooks is not None
         and n_probe < n_cents
-        and "pq_code" in probed.columns
+        and set(codebooks.word_cols) <= set(probed.columns)
     ):
         return pq_topk(
             probed, codebooks, query_vec, k=k,
@@ -431,7 +433,16 @@ class PQCodebooks:
         self.dim = dim
         if dim % self.m:
             raise ValueError(f"dim {dim} not divisible by m {self.m}")
+        if self.ks > 256:
+            raise ValueError(
+                f"ks {self.ks} > 256: codes must fit one byte"
+            )
         self.sub = dim // self.m
+        self.n_words = (self.m + 7) // 8  # int64 words per code
+
+    @property
+    def word_cols(self) -> list[str]:
+        return [f"pq_w{i}" for i in range(self.n_words)]
 
     def to_json(self) -> str:
         import json
@@ -511,28 +522,29 @@ def pq_attach(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Add ``pq_code`` (array<int>, m entries) and ``vec_norm``
-    (double) — the compressed scan columns. Narrow (no shuffle); one
-    Arrow UDF with the closure-captured codebook tensor (encode is a
-    one-time index-build step; the per-QUERY scan touches no Python).
-    At scale these two columns are what the ANN scan READS — m ints
-    per row instead of the full float vector."""
+    """Add ``pq_w0..pq_w{n-1}`` (bigint — the m one-byte codes packed
+    8 per word) and ``vec_norm`` (double) — the compressed scan
+    columns. Narrow (no shuffle); one Arrow UDF with the
+    closure-captured codebook tensor (encode is a one-time index-build
+    step; the per-QUERY scan reads only the packed words). NULL/ragged
+    vectors get NULL words (the screen ranks them last)."""
     C = codebooks.cents  # (m, ks, sub)
     m, _ks, sub = C.shape
     dim = codebooks.dim
+    n_words = codebooks.n_words
+    word_cols = codebooks.word_cols
     c2 = (C * C).sum(axis=2)  # (m, ks)
 
     @pandas_udf(
         T.StructType(
-            [
-                T.StructField("pq_code", T.ArrayType(T.IntegerType())),
-                T.StructField("vec_norm", T.DoubleType()),
-            ]
+            [T.StructField(w, T.LongType()) for w in word_cols]
+            + [T.StructField("vec_norm", T.DoubleType())]
         )
     )
     def encode(vecs: pd.Series) -> pd.DataFrame:
         n = len(vecs)
-        codes = [None] * n
+        words = np.zeros((n, n_words), dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
         norms = np.zeros(n, dtype=np.float64)
         valid_idx, valid_rows = [], []
         for i, v in enumerate(vecs):
@@ -550,19 +562,27 @@ def pq_attach(
                 nrm[:, None] > 0, M / np.where(nrm == 0, 1.0, nrm)[:, None],
                 0.0,
             )
-            out_codes = np.zeros((nv, m), dtype=np.int32)
+            padded = np.zeros((nv, n_words * 8), dtype=np.uint8)
             for s in range(m):
                 Xs = Mn[:, s * sub : (s + 1) * sub]
                 d2 = c2[s] - 2.0 * (Xs @ C[s].T)  # (nv, ks)
-                out_codes[:, s] = np.argmin(d2, axis=1).astype(np.int32)
-            for j, i in enumerate(valid_idx):
-                codes[i] = out_codes[j].tolist()
-                norms[i] = nrm[j]
-        return pd.DataFrame({"pq_code": codes, "vec_norm": norms})
+                padded[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            vi = np.asarray(valid_idx)
+            words[vi] = padded.view(np.int64)  # (nv, n_words)
+            ok[vi] = True
+            norms[vi] = nrm
+        out = {}
+        for i, w in enumerate(word_cols):
+            col = pd.array(words[:, i], dtype="Int64")
+            col[~ok] = pd.NA
+            out[w] = col
+        out["vec_norm"] = norms
+        return pd.DataFrame(out)
 
     enc = encode(F.col(vec_col))
     out = df.withColumn("_pq", enc).select(
-        "*", F.col("_pq.pq_code").alias("pq_code"),
+        "*",
+        *[F.col(f"_pq.{w}").alias(w) for w in word_cols],
         F.col("_pq.vec_norm").alias("vec_norm"),
     ).drop("_pq")
     if id_col != "vec_id":
@@ -581,14 +601,15 @@ def pq_topk(
 ) -> DataFrame:
     """ANN top-k by PQ screen + exact rerank: approximate cosine for
     every row from an (m × ks) driver-built lookup table over the
-    ``pq_code`` ints (asymmetric distance computation), keep the top
+    packed code words (asymmetric distance computation), keep the top
     ``pool`` (default max(10·k, 100)) as TakeOrderedAndProject, rerank
     those at full precision, return exact-cosine top-k. The screen is
-    pure JVM: Σ_s element_at(<constant 256-double array>, code[s]+1)
-    inside whole-stage codegen — rows with NULL codes sort last (NULL
-    approx). One plan, two narrow scans — no shuffle, no bucket
-    coverage cliff: recall is set by quantization accuracy, not by
-    which bucket a neighbor landed in.
+    one Arrow batch over the packed int64 words — numpy view-as-uint8
+    + LUT fancy-gather, no per-row Python objects (see the module
+    docstring for the measured shape comparison); rows with NULL codes
+    score -inf and sort last. One plan, two narrow scans — no shuffle,
+    no bucket coverage cliff: recall is set by quantization accuracy,
+    not by which bucket a neighbor landed in.
     ``pool >= n_rows`` degenerates to exact ``cosine_topk`` (the gate
     dial); pools >= 1e6 skip the screen entirely rather than sizing a
     TakeOrdered priority queue by the limit (a 1e9 limit allocates a
@@ -616,17 +637,37 @@ def pq_topk(
     qn = float(np.linalg.norm(q))
     qu = q / qn if qn > 0 else q
     # LUT[s, c] = cents[s][c] · q_sub(s): approx dot on the unit sphere
-    lut = np.stack(
-        [C[s] @ qu[s * sub : (s + 1) * sub] for s in range(m)]
-    )  # (m, ks) float64
-    code = F.col("pq_code")
-    approx: Column | None = None
+    lut256 = np.zeros((m, 256), dtype=np.float64)
     for s in range(m):
-        term = F.element_at(
-            F.lit([float(x) for x in lut[s]]), code[s] + F.lit(1)
+        lut256[s, : C.shape[1]] = C[s] @ qu[s * sub : (s + 1) * sub]
+    word_cols = codebooks.word_cols
+    n_words = codebooks.n_words
+    sel = np.arange(m)
+
+    @pandas_udf(T.DoubleType())
+    def adc(words: pd.DataFrame) -> pd.Series:
+        mask = words[word_cols[0]].isna().to_numpy()
+        cols = [
+            words[w]
+            .fillna(0)
+            .astype(np.int64)
+            .to_numpy()
+            .view(np.uint8)
+            .reshape(-1, 8)
+            for w in word_cols
+        ]
+        codes = (
+            np.concatenate(cols, axis=1)[:, :m]
+            if n_words > 1
+            else cols[0][:, :m]
         )
-        approx = term if approx is None else approx + term
-    scr = encoded.withColumn("_approx", approx)
+        out = lut256[sel[None, :], codes].sum(axis=1)
+        out[mask] = -np.inf
+        return pd.Series(out)
+
+    scr = encoded.withColumn(
+        "_approx", adc(F.struct(*[F.col(w) for w in word_cols]))
+    )
     if exclude_ids:
         scr = scr.where(~F.col("vec_id").isin(exclude_ids))
     cand = scr.orderBy(F.desc("_approx"), F.asc("vec_id")).limit(pool)

@@ -1,0 +1,109 @@
+"""Streaming → LSM merge → publish loop (streaming/live_index.py):
+N streamed waves must yield a published generation value-identical to
+a one-shot build over the union; the serving tier must auto-refresh
+across the generation swap mid-stream; a replayed micro-batch (crash
+between publish and checkpoint commit) must be value-identical, not
+double-counted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query import search
+from search_engine_spark.publish import load_latest_index, read_latest
+from search_engine_spark.serving import ServingIndex
+from search_engine_spark.sources.corpus import generate_corpus
+from search_engine_spark.streaming.live_index import StreamingLiveIndex
+
+CFG = EngineConfig(docs_per_shard=64, block_size=16)
+QUERIES = ["banana recipe hash", "banana AND recipe", '"banana recipe"']
+
+
+def _results(idx, q):
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(idx, q, k=20).collect()
+    ]
+
+
+def _signature(idx):
+    from search_engine_spark.operators.merge import flat_postings
+
+    rows = sorted(
+        (r.term, r.doc_id, round(r.tf, 6), r.doc_len)
+        for r in flat_postings(idx).collect()
+    )
+    stats = sorted(
+        (r.term, r.df, round(r.idf, 9)) for r in idx.term_stats.collect()
+    )
+    return idx.n_docs, round(idx.avgdl, 9), rows, stats
+
+
+def test_stream_waves_equal_union_build_and_serving_refresh(
+    spark, tmp_path
+):
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+
+    generate_corpus(spark, 150, seed=5).write.mode("append").parquet(
+        corpus_dir
+    )
+    live = StreamingLiveIndex(spark, corpus_dir, root, cfg=CFG)
+    gen1 = live.process_available()
+    assert gen1 >= 0 and live.batches_published >= 1
+    idx1 = load_latest_index(spark, root)
+    assert idx1.n_docs == 150
+
+    # serving tier arms on gen1, then auto-swaps after the next wave
+    srv = ServingIndex.load_latest(root)
+    assert srv.n_docs == 150
+    assert srv.refresh() is False
+
+    generate_corpus(spark, 300, seed=5).where(
+        F.col("doc_id") >= 150
+    ).write.mode("append").parquet(corpus_dir)
+    gen2 = live.process_available()
+    assert gen2 > gen1
+    assert srv.refresh() is True
+    assert srv.n_docs == 300
+
+    merged = load_latest_index(spark, root)
+    rebuilt = build_index(generate_corpus(spark, 300, seed=5), cfg=CFG)
+    assert _signature(merged) == _signature(rebuilt)
+    for q in QUERIES:
+        exp = _results(rebuilt, q)
+        assert _results(merged, q) == exp, q
+        got = [
+            (doc, round(score, 6))
+            for doc, _rel, _pr, score in srv.search(q, k=20)
+        ]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+
+    # draining with nothing new publishes nothing
+    assert live.process_available() == gen2
+    assert read_latest(root)["generation"] == gen2
+
+
+def test_replayed_batch_is_value_identical(spark, tmp_path):
+    """Crash contract: a micro-batch replayed after its publish (the
+    checkpoint commit never landed) re-merges the SAME delta — the
+    right-wins upsert makes that a no-op on values, so the replayed
+    generation equals the pre-replay one."""
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+    base = generate_corpus(spark, 200, seed=9).cache()
+    base.where(F.col("doc_id") < 150).write.mode("append").parquet(
+        corpus_dir
+    )
+    live = StreamingLiveIndex(spark, corpus_dir, root, cfg=CFG)
+    live.process_available()
+
+    delta = base.where(F.col("doc_id") >= 150)
+    live._handle_batch(delta, 10_001)          # normal delivery
+    sig_once = _signature(load_latest_index(spark, root))
+    live._handle_batch(delta, 10_001)          # replay after crash
+    sig_replay = _signature(load_latest_index(spark, root))
+    assert sig_replay == sig_once
+    rebuilt = build_index(base, cfg=CFG)
+    assert sig_replay == _signature(rebuilt)

@@ -102,8 +102,8 @@ def test_pq_attach_null_and_ragged_rows(spark, cb):
         "vec_id: long, embedding: array<float>",
     )
     rows = {r.vec_id: r for r in pq_attach(df, cb).collect()}
-    assert rows[0].pq_code is not None and len(rows[0].pq_code) == 8
-    assert rows[1].pq_code is None and rows[2].pq_code is None
+    assert rows[0].pq_w0 is not None
+    assert rows[1].pq_w0 is None and rows[2].pq_w0 is None
     # screen ranks NULL-code rows last instead of crashing
     qvec = [1.0] * DIM
     got = _ids(pq_topk(pq_attach(df, cb), cb, qvec, k=3))

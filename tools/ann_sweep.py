@@ -159,7 +159,7 @@ def main():
                 exclude_ids=[vid]))
     run("ivf_noscreen", {"C": 32, "n_probe": 23},
         lambda qv, vid: ivf_topk(
-            assigned.drop("pq_code"), cents, qv, k=10, n_probe=23,
+            assigned.drop("pq_w0", "pq_w1"), cents, qv, k=10, n_probe=23,
             exclude_ids=[vid]))
 
     out = {
