@@ -40,13 +40,49 @@ def _normalize(text: str) -> str:
     return t.strip()
 
 
+# The reference's HTML/entity strip chain (BackendManager.java:132-151)
+# — Python re has no [\p{Cntrl}&&[^\n\t]] intersection; the equivalent
+# explicit class is [\x00-\x08\x0b-\x1f\x7f] (all C0 controls + DEL
+# except \t and \n).
+_HTML_STEPS = [
+    (_re.compile(r"(?is)<script\b[^<]*(?:(?!</script>)<[^<]*)*</script>"),
+     " "),
+    (_re.compile(r"(?is)<style\b[^<]*(?:(?!</style>)<[^<]*)*</style>"),
+     " "),
+    (_re.compile(r"(?s)<!--.*?-->"), " "),
+    (_re.compile(r"<[^>]+>"), " "),
+    (_re.compile("&nbsp;|[ ]"), " "),
+    (_re.compile(r"&amp;"), "&"),
+    (_re.compile(r"&lt;"), "<"),
+    (_re.compile(r"&gt;"), ">"),
+    (_re.compile(r"&quot;"), '"'),
+    (_re.compile(r"&#39;"), "'"),
+    (_re.compile(r"&#[0-9]+;"), " "),
+    (_re.compile(r"&[a-zA-Z0-9#]+;"), " "),
+    (_re.compile(r"[\x00-\x08\x0b-\x1f\x7f]"), ""),
+]
+
+
+def strip_html_text(text: str) -> str:
+    """Reference-exact HTML → text strip, scalar twin of
+    ``operators.snippets.strip_html_text`` (pinned equal in
+    tests/test_snippet_html.py)."""
+    t = text or ""
+    for pat, rep in _HTML_STEPS:
+        t = pat.sub(rep, t)
+    return t
+
+
 def sentence_snippet(
     text: str,
     query_words: list[str],
     radius: int = 150,
     fb_radius: int = 100,
+    strip_html: bool = False,
 ) -> str:
     words = [w.lower() for w in query_words if w]
+    if strip_html:
+        text = strip_html_text(text)
     t = _normalize(text)
     low = t.lower()
     best = -1

@@ -665,16 +665,25 @@ def pq_topk(
         out[mask] = -np.inf
         return pd.Series(out)
 
-    scr = encoded.withColumn(
-        "_approx", adc(F.struct(*[F.col(w) for w in word_cols]))
+    scr = encoded.select(
+        "vec_id", adc(F.struct(*[F.col(w) for w in word_cols])).alias(
+            "_approx"
+        )
     )
     if exclude_ids:
         scr = scr.where(~F.col("vec_id").isin(exclude_ids))
+    # screen keeps ONLY (vec_id, _approx): pushing the embedding array
+    # through the TakeOrdered heap costs a 512-byte row copy per SCANNED
+    # row (measured: it put the screen at ~0.8x brute instead of ~0.3x);
+    # the pool's vectors come back via a broadcast semi-join probe
     cand = scr.orderBy(F.desc("_approx"), F.asc("vec_id")).limit(pool)
+    fetched = encoded.select("vec_id", vec_col).join(
+        F.broadcast(cand.select("vec_id")), "vec_id"
+    )
     v = as_double_array(F.col(vec_col))
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        cand.select(
+        fetched.select(
             "vec_id",
             (_dot(v, qarr) / (_norm(v) * _norm(qarr))).alias("cosine"),
         )

@@ -29,6 +29,37 @@ from pyspark.sql import functions as F
 
 NO_PREVIEW = "No preview available for this result."
 
+# The reference's HTML/entity strip chain (BackendManager.java:132-151,
+# the steps BEFORE the text normalization) — verbatim Java regexes
+# (Spark's regexp_replace IS java.util.regex, including the
+# [\\p{Cntrl}&&[^\n\t]] character-class intersection in the last step).
+_HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^<]*(?:(?!</script>)<[^<]*)*</script>", " "),
+    (r"(?is)<style\b[^<]*(?:(?!</style>)<[^<]*)*</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    ("&nbsp;|[\u00A0]", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&#[0-9]+;", " "),
+    (r"&[a-zA-Z0-9#]+;", " "),
+    (r"[\p{Cntrl}&&[^\n\t]]", ""),
+]
+
+
+def strip_html_text(col: Column) -> Column:
+    """Reference-exact HTML → text strip (scripts, styles, comments,
+    tags, entities, control chars) as pure JVM column algebra — the
+    pre-step ``generateSnippet`` runs before its normalization. Compose
+    with ``make_snippets(..., strip_html=True)`` for raw-HTML corpora,
+    or use standalone as a ``text_from_html`` column helper."""
+    for pat, rep in _HTML_STRIP_STEPS:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
 
 def _normalize_text(col: Column) -> Column:
     """The reference's post-HTML-strip text normalization
@@ -122,6 +153,7 @@ def make_snippets(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "char",
+    strip_html: bool = False,
 ) -> DataFrame:
     """(doc_id, snippet).
 
@@ -131,16 +163,24 @@ def make_snippets(
     fall back to the document head.
 
     ``mode="sentence"``: reference-parity sentence-aligned snippet
-    (see module docstring); ``width`` is the ±radius (reference: 150)."""
+    (see module docstring); ``width`` is the ±radius (reference: 150).
+
+    ``strip_html=True`` runs the reference's exact script/style/tag/
+    entity strip first (``strip_html_text``) — with mode="sentence"
+    the full chain is byte-identical to generateSnippet on raw HTML
+    (pinned in tests/test_snippet_html.py)."""
     words = [w.lower() for w in query_words if w]
+    text_in = (
+        strip_html_text(F.col(text_col)) if strip_html else F.col(text_col)
+    )
     if mode == "sentence":
         return docs.select(
             F.col(id_col).alias("doc_id"),
             _sentence_snippet(
-                F.col(text_col), words, radius=width, fb_radius=100
+                text_in, words, radius=width, fb_radius=100
             ).alias("snippet"),
         )
-    low = F.lower(F.col(text_col))
+    low = F.lower(text_in)
     # first hit = least non-zero locate() over the query words
     # (F.least skips NULLs, so absent words drop out)
     hits = [
@@ -148,7 +188,7 @@ def make_snippets(
     ]
     first = hits[0] if len(hits) == 1 else F.least(*hits)
     start = F.greatest(F.lit(1), F.coalesce(first, F.lit(1)) - width // 2)
-    window = F.substring(F.col(text_col), start, width)
+    window = F.substring(text_in, start, width)
     # escape metacharacters: a query word like "c++" must highlight
     # literally, not crash Java Pattern (review finding)
     pattern = (

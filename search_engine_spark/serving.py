@@ -105,8 +105,20 @@ class ServingIndex:
     # -- loading ----------------------------------------------------------
 
     @classmethod
-    def load(cls, path: str, page_rank: dict | None = None) -> "ServingIndex":
-        """Read ``Index.save`` artifacts with pyarrow — no Spark."""
+    def load(
+        cls,
+        path: str,
+        page_rank: dict | None = None,
+        term_range: tuple[str | None, str | None] | None = None,
+    ) -> "ServingIndex":
+        """Read ``Index.save`` artifacts with pyarrow — no Spark.
+
+        ``term_range=(lo, hi)`` loads ONLY postings/idf rows with
+        lo <= term < hi (None = unbounded on that side) — the
+        per-node loader of a term-range-sharded serving fleet. The
+        saved postings are repartitionByRange(term), so parquet
+        row-group statistics prune the read to the node's range;
+        doc stats and meta are global (tiny) and load everywhere."""
         import dataclasses
 
         pr_explicit = page_rank is not None
@@ -121,11 +133,30 @@ class ServingIndex:
             **{k: v for k, v in saved.items() if k in names}
         ) if saved else DEFAULT
 
-        pt = _read_parquet(
-            os.path.join(path, "postings"),
-            ["term", "shard", "doc_ids_enc", "tf_enc", "bm25_tf_enc",
-             "pos_enc"],
-        )
+        if term_range is not None:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            lo, hi = term_range
+            flt = None
+            if lo is not None:
+                flt = pc.field("term") >= lo
+            if hi is not None:
+                f2 = pc.field("term") < hi
+                flt = f2 if flt is None else (flt & f2)
+            pt = pads.dataset(
+                os.path.join(path, "postings"), format="parquet"
+            ).to_table(
+                columns=["term", "shard", "doc_ids_enc", "tf_enc",
+                         "bm25_tf_enc", "pos_enc"],
+                filter=flt,
+            )
+        else:
+            pt = _read_parquet(
+                os.path.join(path, "postings"),
+                ["term", "shard", "doc_ids_enc", "tf_enc", "bm25_tf_enc",
+                 "pos_enc"],
+            )
         terms = pt.column("term").to_pylist()
         shards = pt.column("shard").to_pylist()
         ids_e = pt.column("doc_ids_enc").to_pylist()
@@ -142,6 +173,13 @@ class ServingIndex:
         idf = dict(
             zip(ts.column("term").to_pylist(), ts.column("idf").to_pylist())
         )
+        if term_range is not None:
+            lo, hi = term_range
+            idf = {
+                t: v
+                for t, v in idf.items()
+                if (lo is None or t >= lo) and (hi is None or t < hi)
+            }
         ds = _read_parquet(
             os.path.join(path, "doc_stats"), ["doc_id", "doc_len"]
         )
@@ -465,11 +503,14 @@ class ServingIndex:
         doc_ids: list[int],
         query_words: list[str],
         radius: int = 150,
+        strip_html: bool = False,
     ) -> dict[int, str]:
         """Sentence-aligned snippets (reference generateSnippet) for a
         result page — same semantics as the Spark bulk operator
         ``operators.snippets.make_snippets(mode="sentence")``, pinned
-        equal by tests/test_serving.py."""
+        equal by tests/test_serving.py. ``strip_html=True`` runs the
+        reference's exact script/style/tag/entity strip first — the
+        raw-HTML corpus configuration."""
         from search_engine_spark.functions.snippets_py import (
             NO_PREVIEW,
             sentence_snippet,
@@ -478,7 +519,10 @@ class ServingIndex:
         texts = self.fetch_docs(doc_ids)
         return {
             int(d): (
-                sentence_snippet(texts[int(d)], query_words, radius=radius)
+                sentence_snippet(
+                    texts[int(d)], query_words, radius=radius,
+                    strip_html=strip_html,
+                )
                 if int(d) in texts
                 else NO_PREVIEW
             )
@@ -492,6 +536,7 @@ class ServingIndex:
         size: int = 10,
         mode: str = "bm25",
         snippet_words: list[str] | None = None,
+        strip_html: bool = False,
     ) -> tuple[list[dict], int]:
         """The reference's full search-response shape
         (SE/BackendManager.java search(): ranked page + snippet per
@@ -508,7 +553,9 @@ class ServingIndex:
                 for w in _re.findall(r"[\w']+", query.lower())
                 if w not in ("and", "or", "not")
             ]
-        snips = self.snippets([r[0] for r in rows], snippet_words)
+        snips = self.snippets(
+            [r[0] for r in rows], snippet_words, strip_html=strip_html
+        )
         return (
             [
                 {
@@ -541,3 +588,92 @@ class ServingIndex:
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return list(res)
+
+
+class ServingRouter(ServingIndex):
+    """Term-range fan-out over N ``ServingIndex`` shards — the fleet
+    design the single-node cell documents: each shard holds ONE
+    contiguous term range of the saved codec postings (loaded with the
+    ``term_range`` parquet filter — row-group pruned), the router owns
+    the query semantics. Composition is by TERM ROUTING, not result
+    merging: the router IS a ``ServingIndex`` whose ``_postings(term)``
+    delegates to the owning shard, so every quirk (boolean Q4/Q5,
+    phrase gap-3, Q6 tie-break, LRU + unbounded phrase cache) is the
+    inherited single-node code path and rank-identity holds by
+    construction (pinned in tests/test_serving_router.py).
+
+    In a real fleet ``_postings`` becomes an RPC to the shard node and
+    per-term partial scores come back instead of raw postings for
+    plain queries; the routing table (contiguous term cut points) and
+    the global doc-stats replication are exactly what this class
+    models. Shards share the global doc/idf statistics because BM25
+    weights are corpus-global — each node loads the (tiny) doc_stats
+    and meta artifacts plus only its postings range."""
+
+    def __init__(self, shards: list[ServingIndex]):
+        if not shards:
+            raise ValueError("need at least one shard")
+        first = shards[0]
+        idf: dict = {}
+        for sh in shards:
+            idf.update(sh._idf)
+        super().__init__(
+            enc_rows={},
+            idf=idf,
+            doc_ids=first._doc_ids,
+            doc_lens=first._doc_lens,
+            n_docs=first.n_docs,
+            avgdl=first.avgdl,
+            cfg=first.cfg,
+            page_rank=first._pr or None,
+        )
+        self._pr_explicit = first._pr_explicit
+        self._shards = shards
+        # routing table: shard i serves terms < _cuts[i] (last shard
+        # unbounded); shards were loaded with contiguous [lo, hi) ranges
+        self._cuts = [
+            max(sh._idf) if sh._idf else "" for sh in shards[:-1]
+        ]
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        n_shards: int = 2,
+        page_rank: dict | None = None,
+    ) -> "ServingRouter":
+        """Split the saved index's vocabulary into ``n_shards``
+        contiguous equal-count term ranges and load one ServingIndex
+        per range (each reads only its postings rows)."""
+        ts = _read_parquet(os.path.join(path, "term_stats"), ["term"])
+        terms = sorted(ts.column("term").to_pylist())
+        if not terms:
+            return cls([ServingIndex.load(path, page_rank=page_rank)])
+        n_shards = max(1, min(n_shards, len(terms)))
+        cut_idx = [
+            (i * len(terms)) // n_shards for i in range(1, n_shards)
+        ]
+        cuts = [terms[i] for i in cut_idx]
+        bounds = [None, *cuts]
+        shards = [
+            ServingIndex.load(
+                path,
+                page_rank=page_rank,
+                term_range=(bounds[i], cuts[i] if i < len(cuts) else None),
+            )
+            for i in range(n_shards)
+        ]
+        return cls(shards)
+
+    def _postings(self, term: str):
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return hit
+        import bisect
+
+        # _cuts[i] = shard i's max term: bisect_left sends a term equal
+        # to a shard's max INTO that shard, anything beyond to the next
+        i = bisect.bisect_left(self._cuts, term)
+        out = self._shards[min(i, len(self._shards) - 1)]._postings(term)
+        self._decoded[term] = out
+        return out
