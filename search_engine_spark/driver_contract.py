@@ -1349,6 +1349,54 @@ def q_pq_ann(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_pack_slices(spark, sf_dir):
+    """LM sequence packing MATERIALIZED (r03 verdict #7): the exploded
+    (seq_id, doc_id, token_start, token_end, seq_pos) slice rows a
+    trainer consumes. Pure integer algebra over the distributed prefix
+    sum — fully SQL-expressible, so the DuckDB window cumsum is an
+    independent derivation of the same rows."""
+    from search_engine_spark.operators.textstats import (
+        materialize_sequences,
+    )
+
+    return materialize_sequences(
+        _docs(spark, sf_dir), budget=512, text_col="text"
+    )
+
+
+SQL_PACK_SLICES = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) > 0
+         THEN length(regexp_split_to_array(trim(text), '\\s+'))
+         ELSE 0 END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS start_offset
+  FROM t
+),
+sl AS (
+  SELECT c.doc_id, c.n_tokens, c.start_offset, u.seq_id
+  FROM c, UNNEST(generate_series(
+    (c.start_offset // 512)::BIGINT,
+    ((c.start_offset + greatest(c.n_tokens - 1, 0)) // 512)::BIGINT
+  )) AS u(seq_id)
+)
+SELECT seq_id::BIGINT AS seq_id, doc_id::BIGINT AS doc_id,
+  greatest(0, seq_id * 512 - start_offset)::BIGINT AS token_start,
+  least(n_tokens, (seq_id + 1) * 512 - start_offset)::BIGINT AS token_end,
+  (start_offset + greatest(0, seq_id * 512 - start_offset)
+   - seq_id * 512)::BIGINT AS seq_pos
+FROM sl
+WHERE least(n_tokens, (seq_id + 1) * 512 - start_offset)
+      > greatest(0, seq_id * 512 - start_offset)
+"""
+
+
 def q_media_stats(spark, sf_dir):
     """Multimodal metadata scan over the synthetic binary media column.
 
@@ -1749,6 +1797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed": q_pagerank_fixed,
     "pq_ann_exact": q_pq_ann_exact,
     "pq_ann": q_pq_ann,
+    "pack_slices": q_pack_slices,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1809,4 +1858,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_topk": SQL_BM25_TOPK,
     "decontam": SQL_DECONTAM,
     "pq_ann_exact": SQL_ANN_COSINE,
+    "pack_slices": SQL_PACK_SLICES,
 }

@@ -537,21 +537,40 @@ def search_many(
     )
     if not queries:
         return spark.createDataFrame([], result_schema)
-    if (
-        len(queries) > index.cfg.batch_dispatch_threshold
-        and len(set(queries)) == len(queries)
-    ):
+    if len(queries) > index.cfg.batch_dispatch_threshold:
         # cost-based dispatch (mirrors the WAND single-term dispatch):
         # past the threshold the union plan's O(N) Catalyst branches and
         # single driver collect lose to the one-plan queries-as-data
-        # path. Guarded on distinct queries only — ``search_batch``
-        # dedups, while this path evaluates duplicates per-occurrence.
-        # The final sort restores this function's per-query rank order
-        # over ≤ N·k already-materialized rows (overall query order is
+        # path. Duplicate query strings are evaluated ONCE on the batch
+        # plan and re-expanded per occurrence afterwards (r03 verdict
+        # #9 — the old guard fell back to the O(N)-branch union path
+        # whenever the batch contained a single duplicate). The final
+        # sort restores this function's per-query rank order over
+        # ≤ N·k already-materialized rows (overall query order is
         # lexicographic here vs input-order on the union path; callers
         # key on the ``query`` column).
-        return search_batch(
-            index, queries, k=k, mode=mode, page_rank=page_rank
+        from collections import Counter
+
+        counts = Counter(queries)
+        res = search_batch(
+            index, list(counts), k=k, mode=mode, page_rank=page_rank
+        )
+        if any(c > 1 for c in counts.values()):
+            cdf = local_df(
+                spark,
+                [(q, c) for q, c in counts.items() if c > 1],
+                "query string, _n int",
+            )
+            dup = (
+                res.join(F.broadcast(cdf), "query")
+                .withColumn(
+                    "_i", F.explode(F.sequence(F.lit(2), F.col("_n")))
+                )
+                .drop("_n", "_i")
+            )
+            res = res.unionByName(dup)
+        return res.select(
+            "query", "doc_id", "rel", "page_rank", "score"
         ).orderBy("query", F.desc("score"), F.asc("doc_id"))
     all_stems: list[str] = []
     for q in queries:

@@ -480,18 +480,26 @@ def train_pq(
     ``m=None`` auto-picks the largest of (16, 8, 4, 2, 1) dividing
     ``dim``: m=16/ks=256 holds 0.90 recall@10 at the default pool on
     480k worst-case vectors, where m=8 has decayed to 0.46 (the
-    quantization-error competitors grow with N)."""
+    quantization-error competitors grow with N).
+
+    Sampling is a deterministic crc32 FILTER, not orderBy+limit: a
+    TakeOrdered limit of 64k ships 64k rows PER PARTITION to the
+    driver (measured: it blew spark.driver.maxResultSize at 4.8M rows
+    × 64 partitions); the filter collects only ~sample_size rows total
+    at any corpus size."""
     if m is None:
         m = next(c for c in (16, 8, 4, 2, 1) if dim % c == 0)
-    rows = (
-        emb.select(
-            F.col(id_col).alias("_id"),
-            as_double_array(F.col(vec_col)).alias("v"),
-        )
-        .orderBy(F.crc32(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_size)
-        .collect()
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double_array(F.col(vec_col)).alias("v"),
     )
+    n_rows = base.count()
+    if n_rows > sample_size:
+        d = -(-n_rows // sample_size)  # ceil: keep ~sample_size rows
+        base = base.where(
+            F.crc32(F.col("_id").cast("string")) % d == 0
+        )
+    rows = sorted(base.collect(), key=lambda r: r["_id"])[:sample_size]
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[1] != dim:
         raise ValueError(f"expected (n, {dim}) sample, got {X.shape}")

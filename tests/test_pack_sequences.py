@@ -103,3 +103,91 @@ def test_pack_whitespace_edges(spark):
     assert got[2] == (0, 1)
     assert got[3] == (2, 1)
     assert got[4] == (0, 3)
+
+
+def test_materialize_sequences_invariants(spark, docs):
+    """Slice rows: every sequence except the last packs exactly
+    ``budget`` tokens; a doc's slices are contiguous and cover
+    [0, n_tokens); within a sequence the slices tile [0, budget)."""
+    from search_engine_spark.operators.textstats import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    budget = 512
+    rows = materialize_sequences(
+        docs, budget=budget, text_col="content"
+    ).collect()
+    packed = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=budget, text_col="content")
+        .collect()
+    }
+    total_tokens = sum(p["n_tokens"] for p in packed.values())
+    n_seqs = -(-total_tokens // budget)
+
+    # per-sequence token accounting
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    assert set(by_seq) == set(range(n_seqs))
+    for sid, slices in by_seq.items():
+        width = sum(s["token_end"] - s["token_start"] for s in slices)
+        if sid < n_seqs - 1:
+            assert width == budget, sid
+        else:
+            assert width == total_tokens - budget * (n_seqs - 1)
+        # slices tile the sequence: sorted by seq_pos, contiguous from 0
+        slices.sort(key=lambda s: s["seq_pos"])
+        pos = 0
+        for s in slices:
+            assert s["seq_pos"] == pos, sid
+            pos += s["token_end"] - s["token_start"]
+
+    # per-doc coverage: contiguous [0, n_tokens), no empty-doc rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, p in packed.items():
+        if p["n_tokens"] == 0:
+            assert did not in by_doc
+            continue
+        slices = sorted(by_doc[did], key=lambda s: s["token_start"])
+        assert slices[0]["token_start"] == 0
+        assert slices[-1]["token_end"] == p["n_tokens"]
+        for a, b in zip(slices, slices[1:]):
+            assert a["token_end"] == b["token_start"]
+            assert b["seq_id"] == a["seq_id"] + 1  # doc spans split cuts
+
+
+def test_materialize_matches_python_packing(spark):
+    """Byte-level oracle: a driver-side greedy concatenate-and-cut of a
+    tiny corpus must equal the distributed result row-for-row."""
+    from search_engine_spark.operators.textstats import (
+        materialize_sequences,
+    )
+
+    texts = ["a b c", "", "d e f g h", "i", "j k l m n o p q r s t"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    budget = 4
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["token_start"], r["token_end"],
+         r["seq_pos"])
+        for r in materialize_sequences(df, budget=budget).collect()
+    )
+    exp = []
+    off = 0
+    for did, t in enumerate(texts):
+        n = len([w for w in t.split() if w])
+        start, end = off, off + n
+        off = end
+        pos = start
+        while pos < end:
+            sid = pos // budget
+            take = min(end, (sid + 1) * budget) - pos
+            exp.append((sid, did, pos - start, pos - start + take,
+                        pos - sid * budget))
+            pos += take
+    assert got == sorted(exp)
