@@ -214,7 +214,17 @@ def lsh_topk(
     if probe_radius is None:
         probe_radius = max(1, -(-6 * n_planes // 10))  # ceil(0.6·planes)
     qb = lsh_query_bucket(query_vec, dim, n_planes)
-    bucketed = lsh_assign_buckets(embeddings, dim, n_planes, id_col, vec_col)
+    if "bucket" in embeddings.columns:
+        # pre-bucketed index table (lsh_assign_buckets ran at build
+        # time — at scale it's the partition key): don't re-run the
+        # signature UDF over every row per query
+        bucketed = embeddings
+        if id_col != "vec_id" and "vec_id" not in embeddings.columns:
+            bucketed = bucketed.withColumnRenamed(id_col, "vec_id")
+    else:
+        bucketed = lsh_assign_buckets(
+            embeddings, dim, n_planes, id_col, vec_col
+        )
     if probe_radius <= 0:
         probed = bucketed.where(F.col("bucket") == qb)
     elif probe_radius < n_planes:

@@ -107,6 +107,14 @@ def main():
     assigned = pq_attach(ivf_assign(emb, cents), cb).persist()
     assigned.count()
 
+    from search_engine_spark.operators.similarity import (
+        lsh_assign_buckets,
+    )
+
+    # pre-bucket ONCE (build-time shape); lsh_topk reuses the column
+    enc_b = lsh_assign_buckets(enc, args.dim, n_planes=8).persist()
+    enc_b.count()
+
     qrows = emb.where(F.col("vec_id") < args.queries).collect()
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
                for r in qrows]
@@ -146,12 +154,12 @@ def main():
     for radius in (3, 4, 5):
         run("lsh+pq", {"planes": 8, "radius": radius},
             lambda qv, vid, r=radius: lsh_topk(
-                enc, qv, dim=args.dim, k=10, n_planes=8, probe_radius=r,
+                enc_b, qv, dim=args.dim, k=10, n_planes=8, probe_radius=r,
                 codebooks=cb, exclude_ids=[vid]))
     run("lsh_noscreen", {"planes": 8, "radius": 5},
         lambda qv, vid: lsh_topk(
-            emb, qv, dim=args.dim, k=10, n_planes=8, probe_radius=5,
-            exclude_ids=[vid]))
+            enc_b.drop(*cb.word_cols), qv, dim=args.dim, k=10,
+            n_planes=8, probe_radius=5, exclude_ids=[vid]))
     for n_probe in (8, 16, 23):
         run("ivf+pq", {"C": 32, "n_probe": n_probe},
             lambda qv, vid, np_=n_probe: ivf_topk(
