@@ -63,8 +63,7 @@ def main():
     full = generate_corpus(spark, total, seed=42).persist()
     full.count()
 
-    live = StreamingLiveIndex(spark, corpus_dir,  # noqa: F841
-                              root, cfg=EngineConfig())
+    live = None
     waves = []
     srv = None
     t_run = time.perf_counter()
@@ -74,8 +73,10 @@ def main():
             full.where(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             ).write.mode("append").parquet(corpus_dir)
-            if w == 0:
-                live.schema = spark.read.parquet(corpus_dir).schema
+            if live is None:
+                live = StreamingLiveIndex(
+                    spark, corpus_dir, root, cfg=EngineConfig()
+                )
             t0 = time.perf_counter()
             gen = live.process_available()
             wall = time.perf_counter() - t0
