@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--batch", action="store_true")
     ap.add_argument("--mode", default="bm25", choices=["bm25", "tfidf"])
+    ap.add_argument(
+        "--out",
+        help="with --batch: write (query, doc_id, rel, page_rank, score) "
+        "parquet DISTRIBUTED via the one-plan batch evaluator — no "
+        "driver collect, the 10k-query offline-evaluation shape",
+    )
     # analyzer overrides are OPT-IN: by default the index's own
     # build-time config (persisted in its metadata) drives the query
     # analyzer, which is the only correct pairing
@@ -54,6 +60,28 @@ def main() -> None:
     idx = Index.load(spark, args.index, cfg=cfg)
     idx.postings = idx.postings.persist()
     idx.term_stats = idx.term_stats.persist()
+
+    if args.batch and args.out:
+        # large-N path: results stay executor-side end to end
+        from search_engine_spark.operators.query import search_batch
+
+        distinct = list(dict.fromkeys(args.query))
+        t0 = time.perf_counter()
+        search_batch(
+            idx, distinct, k=args.k, mode=args.mode
+        ).write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "n_queries": len(distinct),
+                    "sec": round(time.perf_counter() - t0, 4),
+                    "path": "batch-distributed",
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if args.batch:
         from search_engine_spark.operators.query import search_many

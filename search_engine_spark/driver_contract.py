@@ -1349,6 +1349,28 @@ def q_pq_ann(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_vector_index_exact(spark, sf_dir):
+    """Persisted ANN index (VectorIndex.build → save → load → topk on
+    the exact dial): value-identical to brute-force cosine — shares
+    SQL_ANN_COSINE. Pins the whole artifact lifecycle (cluster-
+    partitioned parquet + codebook meta) under the DuckDB oracle."""
+    import tempfile
+
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    d = tempfile.mkdtemp(prefix="se_vidx_gate_")
+    VectorIndex.build(emb, dim=len(qvec), n_centroids=8, ks=64).save(d)
+    vidx = VectorIndex.load(spark, d)
+    return vidx.topk(qvec, k=10, exact=True, exclude_ids=[0]).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_pack_slices(spark, sf_dir):
     """LM sequence packing MATERIALIZED (r03 verdict #7): the exploded
     (seq_id, doc_id, token_start, token_end, seq_pos) slice rows a
@@ -1798,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_exact": q_pq_ann_exact,
     "pq_ann": q_pq_ann,
     "pack_slices": q_pack_slices,
+    "vector_index_exact": q_vector_index_exact,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1859,4 +1882,5 @@ ORACLE_SQL: dict[str, str] = {
     "decontam": SQL_DECONTAM,
     "pq_ann_exact": SQL_ANN_COSINE,
     "pack_slices": SQL_PACK_SLICES,
+    "vector_index_exact": SQL_ANN_COSINE,
 }

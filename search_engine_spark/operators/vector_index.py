@@ -1,0 +1,156 @@
+"""Persisted ANN index artifact (VectorIndex): the vector-search
+counterpart of the text index's save/load lifecycle.
+
+Layout under ``<path>/``:
+
+  vectors/cluster=K/*.parquet   (vec_id, embedding, pq_w*, vec_norm)
+                                — partitionBy(cluster), so an IVF probe
+                                of P clusters is a PARTITION-PRUNED
+                                read: only the probed directories are
+                                scanned (plan-asserted in
+                                tests/test_vector_index.py)
+  meta/part-*.json              one row: dim / m / ks / centroids /
+                                PQ codebooks / n_vectors
+
+Query dispatch (``topk``):
+  * ``exact=True``  — brute-force cosine over all rows == cosine_topk
+    (the correctness dial; shares the driver gate's SQL oracle).
+  * default         — IVF probe (adaptive ceil(0.7·C)) + PQ-ADC screen
+    + exact rerank, the measured 0.8+ recall @ ~0.5× brute wall
+    configuration (BENCH.md round-4 sweep).
+
+At 100 TB each cluster directory is further split by parquet file; a
+serving fleet assigns cluster ranges to nodes the same way the text
+tier's ``ServingRouter`` assigns term ranges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.similarity import (
+    PQCodebooks,
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+    pq_attach,
+    pq_topk,
+    train_pq,
+)
+from search_engine_spark.session import local_df
+
+
+class VectorIndex:
+    def __init__(
+        self,
+        vectors: DataFrame,
+        codebooks: PQCodebooks,
+        cents: list[list[float]],
+        dim: int,
+        n_vectors: int | None = None,
+    ):
+        self.vectors = vectors          # vec_id, embedding, cluster, pq_w*
+        self.codebooks = codebooks
+        self.cents = cents
+        self.dim = dim
+        self.n_vectors = n_vectors
+
+    # -- build --------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        dim: int,
+        n_centroids: int = 16,
+        m: int | None = None,
+        ks: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        kmeans_iters: int = 3,
+        pq_iters: int = 8,
+    ) -> "VectorIndex":
+        """Train the coarse quantizer (deterministic Lloyd) and the PQ
+        codebooks (driver-side on a hash-sample), assign + encode every
+        row — two narrow Arrow passes over the corpus, no shuffle."""
+        cents = kmeans_centroids(
+            emb, dim=dim, n_centroids=n_centroids, iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cb = train_pq(
+            emb, dim=dim, m=m, ks=ks, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        vec = pq_attach(
+            ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col), cb,
+        )
+        return cls(vec, cb, cents, dim)
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> "VectorIndex":
+        spark = self.vectors.sparkSession
+        self.vectors.write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(path, "vectors"))
+        meta = {
+            "dim": self.dim,
+            "cents": self.cents,
+            "codebooks": self.codebooks.to_json(),
+            "n_vectors": self.n_vectors
+            if self.n_vectors is not None
+            else self.vectors.count(),
+        }
+        local_df(
+            spark, [(json.dumps(meta),)], "meta string"
+        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorIndex":
+        meta_df = spark.read.json(os.path.join(path, "meta"))
+        meta = json.loads(meta_df.first()["meta"])
+        vec = spark.read.parquet(os.path.join(path, "vectors"))
+        return cls(
+            vec,
+            PQCodebooks.from_json(meta["codebooks"]),
+            [[float(x) for x in c] for c in meta["cents"]],
+            int(meta["dim"]),
+            n_vectors=int(meta["n_vectors"]),
+        )
+
+    # -- query ----------------------------------------------------------------
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int | None = None,
+        pool: int | None = None,
+        exact: bool = False,
+        exclude_ids: list[int] | None = None,
+    ) -> DataFrame:
+        """Top-k (vec_id, cosine). ``exact=True`` → brute force over
+        every row (== ``cosine_topk``); default → IVF probe (adaptive)
+        + PQ screen + exact rerank. On a SAVED index the probe's
+        ``cluster isin(...)`` filter is a parquet PARTITION filter —
+        unprobed cluster directories are never read."""
+        if exact:
+            return cosine_topk(
+                self.vectors, query_vec, k=k, exclude_ids=exclude_ids,
+            )
+        return ivf_topk(
+            self.vectors,
+            self.cents,
+            query_vec,
+            k=k,
+            n_probe=n_probe,
+            codebooks=self.codebooks,
+            pool=pool,
+            exclude_ids=exclude_ids,
+        )

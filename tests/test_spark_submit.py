@@ -106,6 +106,38 @@ def test_build_then_query_via_spark_submit(corpus_path, tmp_path):
         for (_, bs), (_, ws) in zip(res["results"], w):
             assert abs(bs - ws) < 1e-5  # float-sum-order jitter only
 
+    # --batch --out: DISTRIBUTED parquet write (no driver collect),
+    # value-identical rows
+    import tempfile
+
+    out_pq = tempfile.mkdtemp(prefix="se_q_out_") + "/res"
+    stdout = _submit(
+        "query_job.py",
+        "--index", out,
+        "--query", "banana recipe",
+        "--query", "hash join",
+        "--k", "5",
+        "--batch",
+        "--out", out_pq,
+        "--no-stem", "--no-stopwords",
+    )
+    rep = json.loads(
+        [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert rep["path"] == "batch-distributed" and rep["n_queries"] == 2
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT query, doc_id, round(score, 5) FROM '{out_pq}/*.parquet' "
+        "ORDER BY query, score DESC, doc_id"
+    ).fetchall()
+    by_q: dict = {}
+    for q, d, s in rows:
+        by_q.setdefault(q, []).append((d, s))
+    for res in blines:
+        got = by_q[res["query"]]
+        assert [d for d, _ in got] == [d for d, _ in res["results"]]
+
 
 def test_stream_ingest_via_spark_submit(corpus_path, tmp_path):
     out = str(tmp_path / "sidx")
