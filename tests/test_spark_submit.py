@@ -381,3 +381,35 @@ def test_build_job_rejects_sha256_mismatch(spark, corpus_path, tmp_path):
         [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert err == {"error": "sha256_mismatch", "mismatching_rows": 1}
+
+
+def test_live_index_via_spark_submit(corpus_path, tmp_path):
+    """Continuous-ingestion CLI: drain -> merged generation published;
+    re-run with nothing new publishes nothing; served doc count grows
+    only with arrivals."""
+    root = str(tmp_path / "live_root")
+    stdout = _submit(
+        "live_index_job.py",
+        "--input", corpus_path,
+        "--root", root,
+        "--no-stem", "--no-stopwords",
+    )
+    rep = json.loads(stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 120 and rep["batches_this_run"] >= 1
+    gen = rep["generation"]
+
+    stdout2 = _submit(
+        "live_index_job.py",
+        "--input", corpus_path,
+        "--root", root,
+        "--no-stem", "--no-stopwords",
+    )
+    rep2 = json.loads(stdout2.strip().splitlines()[-1])
+    assert rep2["generation"] == gen  # nothing new -> no publish
+    assert rep2["batches_this_run"] == 0
+
+    from search_engine_spark.serving import ServingIndex
+
+    srv = ServingIndex.load_latest(root)
+    assert srv.n_docs == 120
+    assert srv.search("banana", k=5)
