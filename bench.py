@@ -251,7 +251,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         timings["lsh_ann"] = round(time.perf_counter() - t0, 4)
 
         t0 = time.perf_counter()
-        cents = kmeans_centroids(emb, dim=dim, n_centroids=8, iters=2)
+        cents = kmeans_centroids(emb, dim=dim, n_centroids=16, iters=2)
         assigned = pq_attach(ivf_assign(emb, cents), cb).persist()
         assigned.count()
         timings["ivf_train"] = round(time.perf_counter() - t0, 4)
@@ -261,9 +261,12 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         ).collect()
         timings["ivf_ann"] = round(time.perf_counter() - t0, 4)
 
+        # 8 query vectors: at 80 neighbor samples the recall estimate's
+        # std is ~3-4%, so a run-to-run dip below the 0.8 bar is noise-
+        # proof for the measured ~0.88-0.96 operating points
         recall_q = [
             (r["vec_id"], [float(x) for x in r["embedding"]])
-            for r in emb.where(F.col("vec_id") < 5).collect()
+            for r in emb.where(F.col("vec_id") < 8).collect()
         ]
         lsh_hits = ivf_hits = pq_hits = exact_n = 0
         for vid, qv in recall_q:
@@ -404,7 +407,7 @@ def run_micro(cores: int, sf_dir: str) -> dict:
         ).collect()
         timings["lsh_ann"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        cents = kmeans_centroids(emb, dim=dim, n_centroids=8, iters=2)
+        cents = kmeans_centroids(emb, dim=dim, n_centroids=16, iters=2)
         assigned = pq_attach(ivf_assign(emb, cents), cb).persist()
         assigned.count()
         timings["ivf_train"] = round(time.perf_counter() - t0, 4)

@@ -1290,7 +1290,7 @@ def q_ivf_ann(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     row = emb.where(F.col("vec_id") == 0).first()
     qvec = [float(x) for x in row["embedding"]]
-    cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=8, iters=2)
+    cents = kmeans_centroids(emb, dim=len(qvec), n_centroids=16, iters=2)
     from search_engine_spark.operators.similarity import (
         pq_attach,
         train_pq,
