@@ -665,6 +665,51 @@ class ServingRouter(ServingIndex):
         ]
         return cls(shards)
 
+    @classmethod
+    def load_latest(
+        cls,
+        root: str,
+        n_shards: int = 2,
+        page_rank: dict | None = None,
+    ) -> "ServingRouter":
+        """Shard fleet over the generation the publish pointer names;
+        ``refresh()`` re-splits the fleet when a newer generation is
+        published (every node reloads its term range — the real fleet's
+        rolling-restart moment)."""
+        from search_engine_spark.publish import (
+            latest_index_path,
+            read_latest,
+        )
+
+        r = cls.load(
+            latest_index_path(root), n_shards=n_shards, page_rank=page_rank
+        )
+        r.generation = read_latest(root)["generation"]
+        r._root = root
+        r._n_shards = n_shards
+        r._pr_explicit = page_rank is not None
+        return r
+
+    def refresh(self) -> bool:
+        if self._root is None:
+            raise ValueError(
+                "refresh() needs a router loaded via load_latest(root)"
+            )
+        from search_engine_spark.publish import read_latest
+
+        ptr = read_latest(self._root)
+        if ptr is None or ptr["generation"] == self.generation:
+            return False
+        fresh = ServingRouter.load_latest(
+            self._root,
+            n_shards=self._n_shards,
+            page_rank=self._pr if self._pr_explicit else None,
+        )
+        hits, misses = self.cache_hits, self.cache_misses
+        self.__dict__.update(fresh.__dict__)
+        self.cache_hits, self.cache_misses = hits, misses
+        return True
+
     def _postings(self, term: str):
         hit = self._decoded.get(term)
         if hit is not None:

@@ -90,3 +90,31 @@ def test_router_latency_within_2x(saved):
     # generous CI bound: same decode memos, one bisect per term extra
     assert ms_router < 2 * ms_single + 1.0, (ms_single, ms_router)
     assert ms_router < 50
+
+
+def test_router_follows_published_generations(spark, tmp_path):
+    """Fleet lifecycle: load_latest splits the published generation
+    into shards; a new publish + refresh() re-splits — rank-identical
+    to a fresh single node on the new corpus."""
+    from search_engine_spark.publish import publish_index
+
+    root = str(tmp_path / "router_root")
+    cfg = EngineConfig(docs_per_shard=64, block_size=8)
+    docs_a = generate_corpus(spark, 150, seed=7).cache()
+    docs_b = generate_corpus(spark, 300, seed=7).cache()
+    publish_index(build_index(docs_a, cfg=cfg), root)
+
+    router = ServingRouter.load_latest(root, n_shards=3)
+    assert router.generation == 0 and router.n_docs == 150
+    assert router.refresh() is False
+    router.cached_search("banana recipe", k=10)
+    hits = router.cache_hits
+
+    publish_index(build_index(docs_b, cfg=cfg), root)
+    assert router.refresh() is True
+    assert router.generation == 1 and router.n_docs == 300
+    assert len(router._shards) == 3
+    assert router.cache_hits == hits  # counters survive, caches don't
+    single = ServingIndex.load_latest(root)
+    for q in QUERY_SET:
+        assert router.search(q, k=10) == single.search(q, k=10), q
