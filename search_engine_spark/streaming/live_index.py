@@ -89,23 +89,58 @@ class StreamingLiveIndex:
         )
         self.batches_published = 0
 
+    #: optional CDC column: rows with ``deleted=true`` are TOMBSTONES —
+    #: their doc_ids are compacted OUT of the published index (text
+    #: content ignored); all other rows are upserts. Absent column =
+    #: pure-append stream.
+    deleted_col = "deleted"
+
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         docs_b = batch_df.persist()
         try:
             if not docs_b.head(1):
                 return
-            delta = build_index(
-                docs_b,
-                text_col=self.text_col,
-                doc_id_col=self.doc_id_col,
-                cfg=self.cfg,
+            has_cdc = self.deleted_col in docs_b.columns
+            alive = (
+                docs_b.where(
+                    ~F.coalesce(F.col(self.deleted_col), F.lit(False))
+                )
+                if has_cdc
+                else docs_b
             )
             ptr = read_latest(self.root)
-            if ptr is None:
-                merged = delta
-            else:
-                current = load_latest_index(self.spark, self.root)
-                merged = merge_indexes(current, delta)
+            current = (
+                load_latest_index(self.spark, self.root)
+                if ptr is not None
+                else None
+            )
+            merged = current
+            if alive.head(1):
+                delta = build_index(
+                    alive,
+                    text_col=self.text_col,
+                    doc_id_col=self.doc_id_col,
+                    cfg=self.cfg,
+                )
+                merged = (
+                    delta
+                    if merged is None
+                    else merge_indexes(merged, delta)
+                )
+            if has_cdc and merged is not None:
+                dead = docs_b.where(
+                    F.coalesce(F.col(self.deleted_col), F.lit(False))
+                ).select(F.col(self.doc_id_col).alias("doc_id"))
+                if dead.head(1):
+                    from search_engine_spark.operators.merge import (
+                        delete_docs,
+                    )
+
+                    merged = delete_docs(merged, dead)
+            if merged is None:
+                return
             publish_index(merged, self.root)
             self.batches_published += 1
         finally:

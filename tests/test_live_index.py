@@ -107,3 +107,54 @@ def test_replayed_batch_is_value_identical(spark, tmp_path):
     assert sig_replay == sig_once
     rebuilt = build_index(base, cfg=CFG)
     assert sig_replay == _signature(rebuilt)
+
+
+def test_cdc_tombstones_compact_deletions(spark, tmp_path):
+    """CDC stream: a micro-batch mixing upserts and deleted=true
+    tombstones must publish a generation value-identical to a build
+    over the surviving corpus (tombstoned ids compacted out, recrawled
+    docs replaced right-wins)."""
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+    base = generate_corpus(spark, 200, seed=3).cache()
+    base.write.mode("append").parquet(corpus_dir)
+    live = StreamingLiveIndex(spark, corpus_dir, root, cfg=CFG)
+    live.process_available()
+    assert live.batches_published >= 1
+
+    # wave 2 (CDC): doc_ids % 10 == 0 tombstoned; 200..239 new arrivals;
+    # doc 7 recrawled with changed content
+    full = generate_corpus(spark, 240, seed=3)
+    dead = base.where(F.col("doc_id") % 10 == 0).withColumn(
+        "deleted", F.lit(True)
+    )
+    recrawl = (
+        full.where(F.col("doc_id") == 7)
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzzrecrawl"))
+        )
+        .withColumn("deleted", F.lit(False))
+    )
+    arrivals = full.where(F.col("doc_id") >= 200).withColumn(
+        "deleted", F.lit(False)
+    )
+    live._handle_batch(dead.unionByName(recrawl).unionByName(arrivals),
+                       777)
+
+    # tombstones hit only base ids (< 200); %10==0 arrivals survive
+    tombstoned = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 200)
+    survivors = (
+        full.where(~tombstoned & (F.col("doc_id") != 7))
+        .unionByName(
+            full.where(F.col("doc_id") == 7).withColumn(
+                "content",
+                F.concat(F.col("content"), F.lit(" zzzrecrawl")),
+            )
+        )
+    )
+    merged = load_latest_index(spark, root)
+    rebuilt = build_index(survivors, cfg=CFG)
+    assert _signature(merged) == _signature(rebuilt)
+    srv = ServingIndex.load_latest(root)
+    assert srv.n_docs == 240 - 20
+    assert 7 in {d for d, *_ in srv.search("zzzrecrawl", k=5)}
