@@ -1605,6 +1605,50 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the embedding
+    near-dup pair graph (distributed min-label propagation) — the step
+    between pair emitters and actually dropping duplicates. The oracle
+    derives the same labels independently via a DuckDB RECURSIVE CTE
+    (transitive closure + min-reachable)."""
+    from search_engine_spark.operators.dedup import (
+        connected_components,
+        embedding_dup_pairs,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.4)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE e2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u::BIGINT AS node,
+       least(u, min(v))::BIGINT AS component
+FROM reach GROUP BY u
+"""
+
+
 def q_embed_dup_lsh(spark, sf_dir):
     """Bucketed embedding near-dup (rows-only: LSH recall < 1)."""
     from search_engine_spark.operators.dedup import embedding_dup_pairs_lsh
@@ -1821,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann": q_pq_ann,
     "pack_slices": q_pack_slices,
     "vector_index_exact": q_vector_index_exact,
+    "dedup_components": q_dedup_components,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1883,4 +1928,5 @@ ORACLE_SQL: dict[str, str] = {
     "pq_ann_exact": SQL_ANN_COSINE,
     "pack_slices": SQL_PACK_SLICES,
     "vector_index_exact": SQL_ANN_COSINE,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }

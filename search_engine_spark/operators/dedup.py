@@ -449,3 +449,101 @@ def embedding_dup_pairs_lsh(
     return cand.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate CLUSTERS: pairs -> connected components -> keep-canonical
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labels over the undirected near-dup pair
+    graph: ``component`` = the smallest node id reachable from
+    ``node``. The missing piece between pair emitters
+    (minhash/simhash/embedding) and actually DROPPING duplicates — a
+    cluster of k mutual near-dups must shed k-1 docs, not be counted
+    k·(k-1)/2 times.
+
+    Distributed min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    groupBy per round, converges in O(graph diameter) rounds —
+    near-dup clusters are small and dense, so typically 2-3). The loop
+    checkpoints labels per round (``localCheckpoint``) to keep the
+    plan flat, and stops when a round changes no label. Deterministic;
+    never materializes anything driver-side except the converged flag.
+
+    At 100 TB this is the standard alternating-star shape's simple
+    cousin — adequate because near-dup components are tiny; swap in
+    large-star/small-star only if components with millions of members
+    exist (at which point the dedup THRESHOLD is the problem)."""
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .union(
+            pairs.select(
+                F.col(id_b).cast("long").alias("src"),
+                F.col(id_a).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' current labels
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).head(1)
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one CANONICAL doc per near-dup component (the smallest id —
+    deterministic) plus every doc that appears in no pair. The actual
+    dedup step a training pipeline runs after any pair emitter; the
+    component labels are broadcast-joined (the pair graph is tiny
+    relative to the corpus — only near-dups appear in it)."""
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

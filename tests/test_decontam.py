@@ -105,3 +105,58 @@ def test_eval_shingles_distinct(frames, spark):
     assert len(rows) == len(set(rows))
     exp = set().union(*(_shingles(t, 3) for _, t in EVAL))
     assert set(rows) == exp
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (dedup.connected_components / drop_near_duplicates)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_vs_python(spark):
+    """Chain, triangle, isolated pair, long path — labels must equal a
+    driver-side union-find."""
+    from search_engine_spark.operators.dedup import connected_components
+
+    pairs = [
+        (1, 2), (2, 3),            # chain -> comp 1
+        (10, 11), (11, 12), (10, 12),  # triangle -> comp 10
+        (20, 21),                  # pair -> comp 20
+        (30, 31), (31, 32), (32, 33), (33, 34),  # path -> comp 30
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    exp = {n: find(n) for n in parent}
+    assert got == exp
+
+
+def test_drop_near_duplicates_keeps_canonicals(spark):
+    from search_engine_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(docs, pairs).collect()
+    )
+    # component {1,2,5} keeps 1; {6,7} keeps 6; 0,3,4 untouched
+    assert kept == [0, 1, 3, 4, 6]
