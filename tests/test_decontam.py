@@ -160,3 +160,40 @@ def test_drop_near_duplicates_keeps_canonicals(spark):
     )
     # component {1,2,5} keeps 1; {6,7} keeps 6; 0,3,4 untouched
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_connected_components_random_graphs(spark):
+    """Property check on random graphs: distributed labels == a
+    driver-side union-find (8 seeds, up to 40 nodes / 60 edges)."""
+    import random
+
+    from search_engine_spark.operators.dedup import connected_components
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {x: find(x) for x in parent}
+        assert got == exp, seed
