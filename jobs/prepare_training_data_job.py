@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""spark-submit entry: the full training-data hygiene pipeline
+(operators/pipeline.py) — langid → quality → exact dedup → near-dup
+clusters → decontamination → packed-sequence slices.
+
+    spark-submit --py-files "$ZIP" jobs/prepare_training_data_job.py \\
+        --input /path/to/docs_parquet --output /path/to/out \\
+        [--text-col content] [--doc-id-col doc_id] \\
+        [--lang en | --no-langid] [--min-quality 0.3 | --no-quality] \\
+        [--no-exact-dedup] [--minhash-threshold 0.8 | --no-near-dup] \\
+        [--eval /path/to/eval_parquet] [--ngram 13] \\
+        [--pack-budget 2048 | --no-pack]
+
+Writes <output>/docs (surviving corpus) and <output>/slices (trainer
+slice rows, when packing is on), prints one JSON report line with
+per-stage survivor/dropped counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--doc-id-col", default="doc_id")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--no-langid", action="store_true")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--no-quality", action="store_true")
+    ap.add_argument("--no-exact-dedup", action="store_true")
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--eval")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--no-pack", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("se-prepare-data").getOrCreate()
+
+    from search_engine_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+
+    docs = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    t0 = time.perf_counter()
+    clean, slices, report = prepare_training_data(
+        docs,
+        text_col=args.text_col,
+        id_col=args.doc_id_col,
+        lang=None if args.no_langid else args.lang,
+        min_quality=None if args.no_quality else args.min_quality,
+        exact=not args.no_exact_dedup,
+        minhash_threshold=(
+            None if args.no_near_dup else args.minhash_threshold
+        ),
+        num_hashes=args.num_hashes,
+        eval_df=eval_df,
+        decontam_ngram=args.ngram,
+        pack_budget=None if args.no_pack else args.pack_budget,
+    )
+    clean.write.mode("overwrite").parquet(
+        os.path.join(args.output, "docs")
+    )
+    if slices is not None:
+        slices.write.mode("overwrite").parquet(
+            os.path.join(args.output, "slices")
+        )
+    print(
+        json.dumps(
+            {
+                "counts": report.counts,
+                "dropped": report.dropped,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

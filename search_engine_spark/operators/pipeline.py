@@ -1,0 +1,132 @@
+"""End-to-end training-data preparation: the hygiene chain a 100 TB
+LM-pretraining pipeline runs over a raw corpus, composed from this
+repo's operators in one declarative pass per stage:
+
+  1. language filter     (textstats.langid — marker-word voting)
+  2. quality filter      (textstats.quality_score >= min_quality)
+  3. exact dedup         (dedup.exact_dedup — min-id survivor per hash)
+  4. near-dup clusters   (dedup.minhash_lsh_pairs →
+                          connected_components → keep-canonical)
+  5. decontamination     (decontam.decontaminate vs a held-out eval
+                          set, GPT-3-style n-gram overlap)
+  6. sequence packing    (textstats.materialize_sequences slice rows)
+
+Every stage is optional; stages see only the previous stage's
+survivors, so each filter's wide work shrinks with the corpus. The
+report counts one aggregate per stage (cheap jobs over id columns).
+
+Scale shape: nothing here collects documents driver-side; each stage
+is the operator's own audited plan (broadcast eval shingles, banded
+minhash candidates, component labels over near-dups only)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PipelineReport:
+    counts: dict = field(default_factory=dict)   # stage -> surviving docs
+    dropped: dict = field(default_factory=dict)  # stage -> docs removed
+
+    def record(self, stage: str, before: int, after: int) -> None:
+        self.counts[stage] = after
+        self.dropped[stage] = before - after
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    lang: str | None = "en",
+    min_quality: float | None = 0.3,
+    exact: bool = True,
+    minhash_threshold: float | None = 0.8,
+    num_hashes: int = 8,
+    eval_df: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    pack_budget: int | None = 2048,
+) -> tuple[DataFrame, DataFrame | None, PipelineReport]:
+    """Returns (clean_docs, slice_rows_or_None, report). Pass ``None``
+    for a stage's knob to skip it (``exact=False`` to skip exact
+    dedup)."""
+    from search_engine_spark.operators.decontam import decontaminate
+    from search_engine_spark.operators.dedup import (
+        drop_near_duplicates,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from search_engine_spark.operators.textstats import (
+        langid,
+        materialize_sequences,
+        quality_score,
+    )
+
+    report = PipelineReport()
+    cur = docs
+    n = cur.count()
+    report.counts["input"] = n
+
+    if lang is not None:
+        keep = langid(cur, text_col=text_col, id_col=id_col).where(
+            F.col("pred_lang") == lang
+        ).select(F.col("doc_id").alias(id_col))
+        cur = cur.join(keep, id_col, "left_semi")
+        n2 = cur.count()
+        report.record("langid", n, n2)
+        n = n2
+
+    if min_quality is not None:
+        keep = quality_score(
+            cur, text_col=text_col, id_col=id_col
+        ).where(F.col("score") >= min_quality).select(
+            F.col("doc_id").alias(id_col)
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+        n2 = cur.count()
+        report.record("quality", n, n2)
+        n = n2
+
+    if exact:
+        keep = exact_dedup(cur, text_col=text_col, id_col=id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+        n2 = cur.count()
+        report.record("exact_dedup", n, n2)
+        n = n2
+
+    if minhash_threshold is not None:
+        pairs = minhash_lsh_pairs(
+            cur,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            threshold=minhash_threshold,
+        )
+        cur = drop_near_duplicates(
+            cur, pairs, id_col=id_col, id_a="doc_a", id_b="doc_b"
+        )
+        n2 = cur.count()
+        report.record("near_dup", n, n2)
+        n = n2
+
+    if eval_df is not None:
+        cur = decontaminate(
+            cur, eval_df, text_col=text_col, id_col=id_col,
+            n=decontam_ngram,
+        )
+        n2 = cur.count()
+        report.record("decontam", n, n2)
+        n = n2
+
+    slices = None
+    if pack_budget:
+        slices = materialize_sequences(
+            cur, budget=pack_budget, text_col=text_col, id_col=id_col
+        )
+        report.counts["slices"] = slices.count()
+    return cur, slices, report

@@ -1,0 +1,97 @@
+"""End-to-end training-data hygiene pipeline (operators/pipeline.py):
+each stage's survivors must equal the operator-by-operator composition,
+planted artifacts (exact dups, near-dup clusters, eval contamination,
+off-language docs) must fall in the RIGHT stage, and the packed slice
+rows must tile the surviving corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.pipeline import prepare_training_data
+from search_engine_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Base corpus + planted hazards at reserved id ranges."""
+    base = generate_corpus(spark, 150, seed=21).select(
+        "doc_id", "content"
+    )
+    sample = [r["content"] for r in base.where("doc_id < 3").collect()]
+    extras = [
+        # exact duplicates of doc 0 (min-id 0 survives)
+        (1000, sample[0]),
+        (1001, sample[0]),
+        # near-dup cluster of doc 1 (one word appended)
+        (1002, sample[1] + " extra"),
+        (1003, sample[1] + " extras"),
+        # off-language doc (German markers)
+        (1004, "der die das und ist nicht mit sich auf werden " * 30),
+        # junk: English-classified (marker word) but fails the quality
+        # filter (3 tokens, 1/3 unique, short): score ~0.19 < 0.3
+        (1005, "the the the"),
+    ]
+    return base.unionByName(
+        spark.createDataFrame(extras, "doc_id long, content string")
+    ).cache()
+
+
+def test_pipeline_stages_drop_planted_hazards(spark, corpus):
+    eval_df = corpus.where(F.col("doc_id") == 2)  # contaminates doc 2
+    clean, slices, report = prepare_training_data(
+        corpus,
+        lang="en",
+        min_quality=0.3,
+        exact=True,
+        minhash_threshold=0.8,
+        num_hashes=8,
+        eval_df=eval_df,
+        decontam_ngram=5,
+        pack_budget=256,
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # stage attribution
+    assert 1004 not in kept                      # langid
+    assert 1005 not in kept                      # quality
+    assert 1000 not in kept and 1001 not in kept  # exact dedup
+    assert 0 in kept                             # min-id survivor
+    # near-dup cluster {1, 1002, 1003} keeps only the canonical 1
+    assert 1 in kept and 1002 not in kept and 1003 not in kept
+    assert 2 not in kept                         # decontam vs eval
+    # report bookkeeping is exact
+    assert report.counts["input"] == 156
+    assert report.dropped["langid"] >= 1
+    assert report.dropped["quality"] >= 1
+    assert report.dropped["exact_dedup"] == 2
+    assert report.dropped["near_dup"] == 2
+    assert report.dropped["decontam"] >= 1
+    assert report.counts["decontam"] == len(kept)
+
+    # slices tile the SURVIVING corpus exactly
+    total_tokens = (
+        clean.select(
+            F.size(
+                F.filter(F.split("content", "\\s+"), lambda t: t != "")
+            ).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+    )
+    got_tokens = slices.select(
+        F.sum(F.col("token_end") - F.col("token_start"))
+    ).collect()[0][0]
+    assert got_tokens == total_tokens
+    assert report.counts["slices"] == slices.count()
+
+
+def test_pipeline_stages_skippable(spark, corpus):
+    clean, slices, report = prepare_training_data(
+        corpus,
+        lang=None,
+        min_quality=None,
+        exact=False,
+        minhash_threshold=None,
+        eval_df=None,
+        pack_budget=None,
+    )
+    assert slices is None
+    assert report.counts == {"input": 156}
+    assert clean.count() == 156

@@ -413,3 +413,36 @@ def test_live_index_via_spark_submit(corpus_path, tmp_path):
     srv = ServingIndex.load_latest(root)
     assert srv.n_docs == 120
     assert srv.search("banana", k=5)
+
+
+def test_prepare_training_data_via_spark_submit(corpus_path, tmp_path):
+    """Full hygiene pipeline CLI: runs end to end, writes docs + slice
+    parquet, per-stage counts are monotone non-increasing."""
+    out = str(tmp_path / "prep")
+    stdout = _submit(
+        "prepare_training_data_job.py",
+        "--input", corpus_path,
+        "--output", out,
+        "--min-quality", "0.1",
+        "--pack-budget", "512",
+    )
+    rep = json.loads(
+        [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    )
+    c = rep["counts"]
+    assert c["input"] == 120
+    stage_order = [k for k in
+                   ("input", "langid", "quality", "exact_dedup",
+                    "near_dup") if k in c]
+    vals = [c[k] for k in stage_order]
+    assert vals == sorted(vals, reverse=True)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/docs/*.parquet'"
+    ).fetchone()[0]
+    assert n_docs == vals[-1]
+    n_slices = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/slices/*.parquet'"
+    ).fetchone()[0]
+    assert n_slices == c["slices"] > 0
