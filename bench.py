@@ -320,6 +320,25 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         pack_sequences(docs, budget=2048, text_col="text").count()
         timings["pack_sequences"] = round(time.perf_counter() - t0, 4)
 
+        # full hygiene pipeline (round 4): langid -> quality -> exact
+        # dedup -> near-dup components -> decontam -> slice rows, one
+        # composed run over the documents table
+        from search_engine_spark.operators.pipeline import (
+            prepare_training_data,
+        )
+
+        t0 = time.perf_counter()
+        _clean, slices, _rep = prepare_training_data(
+            docs,
+            text_col="text",
+            min_quality=0.1,
+            eval_df=ev,
+            decontam_ngram=13,
+            pack_budget=2048,
+        )
+        slices.count()
+        timings["pipeline_full"] = round(time.perf_counter() - t0, 4)
+
         qs = sorted(q_times)
         return {
             "cores": cores,
