@@ -212,3 +212,52 @@ def test_repo_link_graph_inter_repo_edges_distributed(spark, corpus_df):
     assert plan.count("Exchange SinglePartition") == 1
     tiny = plan.split("Exchange SinglePartition")[1]
     assert "pid" in tiny.split("Exchange")[0]
+
+
+def test_pq_screen_plan_properties(spark):
+    """PQ ANN: the screen's TakeOrdered carries only (vec_id, _approx)
+    — the embedding array must NOT ride through the heap — and the
+    pool's vectors come back via a broadcast join."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        pq_attach,
+        pq_topk,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cb = train_pq(emb, dim=16, ks=16, iters=2)
+    enc = pq_attach(emb, cb)
+    plan = _plan(pq_topk(enc, cb, rows[0][1], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the SCREEN TakeOrdered must order by _approx over a slim projection
+    screen = [
+        ln for ln in plan.splitlines()
+        if "TakeOrderedAndProject" in ln and "_approx" in ln
+    ]
+    assert screen and all("embedding" not in ln for ln in screen)
+
+
+def test_drop_near_duplicates_broadcasts_losers(spark):
+    """The keep-canonical anti-join must broadcast the (tiny) loser
+    set, never shuffle the corpus."""
+    from search_engine_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"d {i}") for i in range(100)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    plan = _plan(drop_near_duplicates(docs, pairs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
