@@ -100,3 +100,18 @@ def test_stratified_sample_fractions(spark):
         for r in stratified_sample(df, fr).groupBy("lang").count().collect()
     }
     assert again == got                          # deterministic
+
+
+def test_gate_cap_discipline():
+    """The driver's correctness gate records only the FIRST 50 registry
+    entries: every one of those slots must carry an oracle (rows-only
+    entries belong at the tail) — a reordering that pushes an
+    oracle-checked entry past the cap or pulls a rows-only entry into
+    it silently weakens the recorded evidence."""
+    names = list(QUERIES)
+    first50 = names[:50]
+    assert all(n in ORACLES for n in first50), [
+        n for n in first50 if n not in ORACLES
+    ]
+    # the round-4 lifecycle entry must sit inside the recorded window
+    assert "merged_bm25_topk" in first50
