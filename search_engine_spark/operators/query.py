@@ -223,18 +223,30 @@ def phrase_matches(
     row-per-position WordPositions table)."""
     uniq = list(dict.fromkeys(stems))
     rows = term_matches(index, uniq, base=base)
+    # collect the FULL match entries in the one candidate groupBy and
+    # explode the survivors back out: the old shape semi-joined `rows`
+    # against the gated candidates, which evaluated the codec decode
+    # TWICE (once per plan branch) — this is one decode, one exchange
+    entry = F.struct("term", "tf", "tf_norm", "bm25_tf", "positions")
     cand = (
         rows.groupBy("doc_id")
         .agg(
             F.countDistinct("term").alias("n_terms"),
-            F.collect_list(F.struct("term", "positions")).alias("plists"),
+            F.collect_list(entry).alias("plists"),
         )
         .filter(F.col("n_terms") == len(uniq))
     )
     ok = cand.filter(
         _make_phrase_udf(stems, index.cfg.phrase_max_gap)(F.col("plists"))
-    ).select("doc_id")
-    return rows.join(ok, "doc_id", "left_semi")
+    )
+    return ok.select("doc_id", F.explode("plists").alias("e")).select(
+        "doc_id",
+        F.col("e.term").alias("term"),
+        F.col("e.tf").alias("tf"),
+        F.col("e.tf_norm").alias("tf_norm"),
+        F.col("e.bm25_tf").alias("bm25_tf"),
+        F.col("e.positions").alias("positions"),
+    )
 
 
 def combine_and(left: DataFrame, right: DataFrame) -> DataFrame:
