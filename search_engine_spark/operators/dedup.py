@@ -469,18 +469,18 @@ def connected_components(
     cluster of k mutual near-dups must shed k-1 docs, not be counted
     k·(k-1)/2 times.
 
-    Distributed min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels (one join + one
-    groupBy per round, converges in O(graph diameter) rounds —
-    near-dup clusters are small and dense, so typically 2-3). The loop
-    checkpoints labels per round (``localCheckpoint``) to keep the
-    plan flat, and stops when a round changes no label. Deterministic;
-    never materializes anything driver-side except the converged flag.
-
-    At 100 TB this is the standard alternating-star shape's simple
-    cousin — adequate because near-dup components are tiny; swap in
-    large-star/small-star only if components with millions of members
-    exist (at which point the dedup THRESHOLD is the problem)."""
+    Distributed min-label propagation WITH pointer jumping: each round
+    every node takes the min of its own label and its neighbors'
+    labels, then replaces its label by its LABEL'S label (path
+    halving) — one round is two joins + one groupBy and the
+    combination converges in O(log n) rounds even on a path graph
+    (plain neighbor propagation needs O(diameter): a 200-node chain
+    would exhaust any reasonable round cap — pinned in tests). The
+    loop checkpoints labels per round (``localCheckpoint``) to keep
+    the plan flat, stops when a round changes no label, and RAISES if
+    ``max_iter`` rounds don't converge rather than returning wrong
+    labels. Deterministic; nothing materializes driver-side except the
+    converged flag."""
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
@@ -502,7 +502,7 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # candidate label per node: min over neighbors' current labels
+        # step 1: min over neighbors' current labels
         nbr = (
             edges.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
@@ -510,22 +510,45 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        )
+        # step 2: pointer jumping (path halving) — follow the label's
+        # own label; a component label is always a graph node, so the
+        # self-join mapping is total (left join only for safety)
+        mapping = stepped.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_cc"),
+        )
         new_labels = (
-            labels.join(nbr, "node", "left")
+            stepped.join(mapping, "component", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component"))
-                 < F.col("component")).alias("_changed"),
+                F.coalesce(F.col("_cc"), F.col("component")).alias(
+                    "component"
+                ),
             )
         ).localCheckpoint()
-        changed = new_labels.where(F.col("_changed")).head(1)
-        labels = new_labels.drop("_changed")
-        if not changed:
+        # converged iff NO label moved this round (either step)
+        moved = (
+            labels.withColumnRenamed("component", "_old")
+            .join(new_labels, "node")
+            .where(F.col("component") < F.col("_old"))
+            .head(1)
+        )
+        labels = new_labels
+        if not moved:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
     edges.unpersist()
     return labels
 

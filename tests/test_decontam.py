@@ -197,3 +197,18 @@ def test_connected_components_random_graphs(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         exp = {x: find(x) for x in parent}
         assert got == exp, seed
+
+
+def test_connected_components_long_path(spark):
+    """A 200-node path graph: plain neighbor propagation needs ~200
+    rounds; pointer jumping must converge within the default cap and
+    label every node with 0."""
+    from search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=20).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 201
