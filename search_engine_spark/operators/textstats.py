@@ -223,6 +223,8 @@ def pack_sequences(
     boundary stitch; the only single-partition window input is one row
     per range partition). Token count is whitespace split — swap in
     token_count's BPE-ish regex when byte-level fidelity matters."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
     from pyspark.sql import Window
 
     # filter '' after split: Java split keeps leading/trailing empties,
