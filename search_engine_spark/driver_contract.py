@@ -1660,6 +1660,61 @@ def q_embed_dup_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_live_loop_topk(spark, sf_dir):
+    """The FULL continuous-ingestion loop under the oracle: corpus
+    files streamed in two waves through StreamingLiveIndex (delta
+    build → merge_indexes → publish_index per micro-batch), then the
+    standard BM25 top-k over the published generation — value-identical
+    to a one-shot build, so SQL_BM25_TOPK answers it unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.publish import load_latest_index
+    from search_engine_spark.streaming.live_index import StreamingLiveIndex
+
+    work = tempfile.mkdtemp(prefix="se_live_gate_")
+    try:
+        src_dir = os.path.join(work, "corpus")
+        os.makedirs(src_dir)
+        docs = _docs(spark, sf_dir)
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+        def _land(df, name):
+            # file-source streams watch a FLAT dir: write the wave to a
+            # scratch dir, move its part files in under unique names
+            tmp = os.path.join(work, f"_stage_{name}")
+            df.write.parquet(tmp)
+            for i, f in enumerate(sorted(os.listdir(tmp))):
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(tmp, f),
+                        os.path.join(src_dir, f"{name}_{i}.parquet"),
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _land(docs.where(F.col("doc_id") <= half), "wave0")
+        live = StreamingLiveIndex(
+            spark,
+            src_dir,
+            os.path.join(work, "root"),
+            cfg=SIMPLE_CFG,
+            text_col="text",
+        )
+        live.process_available()
+        _land(docs.where(F.col("doc_id") > half), "wave1")
+        live.process_available()
+        idx = load_latest_index(spark, os.path.join(work, "root"))
+        idx.postings = idx.postings.persist()
+        out = search(idx, " ".join(BM25_TERMS), k=10).select(
+            "doc_id", F.round("score", 5).alias("score")
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_streaming_topk(spark, sf_dir):
     """Same BM25 top-k as bm25_topk, but the index is built by the
     Structured-Streaming incremental ingest (readStream → foreachBatch
@@ -1866,6 +1921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_slices": q_pack_slices,
     "vector_index_exact": q_vector_index_exact,
     "dedup_components": q_dedup_components,
+    "live_loop_topk": q_live_loop_topk,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1929,4 +1985,5 @@ ORACLE_SQL: dict[str, str] = {
     "pack_slices": SQL_PACK_SLICES,
     "vector_index_exact": SQL_ANN_COSINE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "live_loop_topk": SQL_BM25_TOPK,
 }
