@@ -46,35 +46,33 @@ def parse_event_log(log_dir: str) -> list[dict]:
     else:
         files = [newest]
     stages: dict[tuple, dict] = {}
-    lines = (ln for f in files for ln in open(f))
-    if True:
-        for line in lines:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") == "SparkListenerTaskEnd":
-                key = (ev["Stage ID"], ev["Stage Attempt ID"])
-                info = ev.get("Task Info") or {}
-                dur = info.get("Finish Time", 0) - info.get(
-                    "Launch Time", 0
-                )
-                met = ev.get("Task Metrics") or {}
-                sr = (met.get("Shuffle Read Metrics") or {})
-                rb = sr.get("Remote Bytes Read", 0) + sr.get(
-                    "Local Bytes Read", 0
-                )
-                st = stages.setdefault(
-                    key, {"durs": [], "shuffle_read": 0}
-                )
-                st["durs"].append(dur)
-                st["shuffle_read"] += rb
-            elif ev.get("Event") == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                key = (si["Stage ID"], si["Stage Attempt ID"])
-                stages.setdefault(
-                    key, {"durs": [], "shuffle_read": 0}
-                )["name"] = si.get("Name", "")
+    for line in (ln for f in files for ln in open(f)):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerTaskEnd":
+            key = (ev["Stage ID"], ev["Stage Attempt ID"])
+            info = ev.get("Task Info") or {}
+            dur = info.get("Finish Time", 0) - info.get(
+                "Launch Time", 0
+            )
+            met = ev.get("Task Metrics") or {}
+            sr = (met.get("Shuffle Read Metrics") or {})
+            rb = sr.get("Remote Bytes Read", 0) + sr.get(
+                "Local Bytes Read", 0
+            )
+            st = stages.setdefault(
+                key, {"durs": [], "shuffle_read": 0}
+            )
+            st["durs"].append(dur)
+            st["shuffle_read"] += rb
+        elif ev.get("Event") == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            key = (si["Stage ID"], si["Stage Attempt ID"])
+            stages.setdefault(
+                key, {"durs": [], "shuffle_read": 0}
+            )["name"] = si.get("Name", "")
     out = []
     for (sid, _a), st in sorted(stages.items()):
         durs = sorted(st["durs"])
