@@ -39,7 +39,6 @@ from search_engine_spark.operators.similarity import (
     ivf_topk,
     kmeans_centroids,
     pq_attach,
-    pq_topk,
     train_pq,
 )
 from search_engine_spark.session import local_df
