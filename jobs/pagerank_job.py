@@ -8,7 +8,7 @@ Data/DataBaseManager.java:59-74's batched UPDATE ... SET page_rank).
         [--edges /path/to/edges_parquet]        # (src, dst) rows
         [--links /path/to/links_parquet]        # (doc_id, extracted_link)
                                                 # resolved against docs.url
-        [--damping 0.85] [--epsilon 1e-5] [--max-iter 100]
+        [--damping 0.85] [--epsilon 1e-5] [--max-iter 100] [--warm-start]
 
 Edge source precedence: --edges > --links > the deterministic repo ring
 graph derived from the corpus's ``repo`` column (SURVEY.md §7 Phase 3).
@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--damping", type=float, default=None)
     ap.add_argument("--epsilon", type=float, default=None)
     ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument(
+        "--warm-start",
+        action="store_true",
+        help="warm-start the fixpoint from the docs table's existing "
+        "page_rank column (incremental refresh after a delta merge); "
+        "same fixpoint, fewer iterations",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,7 +77,15 @@ def main() -> None:
     else:
         edges = repo_link_graph(docs)
     n_edges = edges.count()
-    n_ranked = write_back_pagerank(spark, args.docs, edges, cfg=cfg)
+    stats: dict = {}
+    n_ranked = write_back_pagerank(
+        spark,
+        args.docs,
+        edges,
+        cfg=cfg,
+        warm_start=args.warm_start,
+        stats=stats,
+    )
     print(
         json.dumps(
             {
@@ -78,6 +93,8 @@ def main() -> None:
                 "n_docs": spark.read.parquet(args.docs).count(),
                 "n_edges": n_edges,
                 "n_ranked": n_ranked,
+                "iterations": stats.get("iterations"),
+                "warm_start": bool(args.warm_start),
                 "wall_sec": round(time.perf_counter() - t0, 3),
             }
         )

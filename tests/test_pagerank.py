@@ -188,3 +188,130 @@ def test_pagerank_job_cli(spark, tmp_path):
 
     out = spark.read.parquet(docs_path)
     assert out.where("page_rank > 0").count() == report["n_ranked"]
+
+    # second run with --warm-start: re-ranks from the column just
+    # written — same ranks (same graph → already at the fixpoint, so it
+    # converges in one iteration), not fewer docs
+    before = {
+        r["doc_id"]: r["page_rank"]
+        for r in out.select("doc_id", "page_rank").collect()
+    }
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/pagerank_job.py",
+            "--docs",
+            docs_path,
+            "--warm-start",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    report2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert report2["warm_start"] is True
+    assert report2["iterations"] == 1, report2
+    assert report2["n_ranked"] == report["n_ranked"]
+    after = {
+        r["doc_id"]: r["page_rank"]
+        for r in spark.read.parquet(docs_path)
+        .select("doc_id", "page_rank")
+        .collect()
+    }
+    for k, v in before.items():
+        assert abs(after[k] - v) < 1.2e-4, (k, v, after[k])
+
+
+def _random_graph(n_nodes: int, n_edges: int, seed: int):
+    import random
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        s, t = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if s != t:
+            edges.add((s, t))
+    return sorted(edges)
+
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark):
+    """incremental_pagerank: after a small graph delta, warm-starting
+    from the previous ranks reaches the SAME fixpoint as a cold run on
+    the new graph (contraction argument) in strictly fewer iterations."""
+    from search_engine_spark.operators.pagerank import (
+        incremental_pagerank,
+        pagerank,
+    )
+
+    n = 400
+    base_edges = _random_graph(n, 1600, seed=7)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e0 = spark.createDataFrame(base_edges, "src long, dst long")
+    prev = pagerank(e0, nodes)
+
+    # delta: 1% new edges + one brand-new doc (id n) linked both ways
+    delta = _random_graph(n, 16, seed=99) + [(0, n), (n, 1)]
+    new_edges = sorted(set(base_edges) | set(delta))
+    e1 = spark.createDataFrame(new_edges, "src long, dst long")
+    nodes1 = spark.createDataFrame(
+        [(i,) for i in range(n + 1)], "doc_id long"
+    )
+
+    cold_stats, warm_stats = {}, {}
+    cold = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(e1, nodes1, stats=cold_stats).collect()
+    }
+    warm = {
+        r["doc_id"]: r["page_rank"]
+        for r in incremental_pagerank(
+            e1, nodes1, prev, stats=warm_stats
+        ).collect()
+    }
+    assert set(warm) == set(cold) and n in warm  # new doc got a rank
+    for k in cold:
+        assert math.isclose(warm[k], cold[k], abs_tol=5e-5), (
+            k, warm[k], cold[k]
+        )
+    assert warm_stats["iterations"] < cold_stats["iterations"], (
+        warm_stats, cold_stats
+    )
+    assert warm_stats["n"] == n + 1
+
+
+def test_warm_start_distributed_path(spark):
+    """The iterative-DataFrame loop honors init_ranks: warm-started from
+    the exact fixpoint it converges immediately (1 iteration) to the
+    same values; nodes missing from the init vector default to 1/N."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in NODES], "doc_id long")
+    dist_cfg = EngineConfig(pagerank_local_threshold=0)
+    fix = pagerank(edges, nodes, cfg=dist_cfg).localCheckpoint()
+
+    stats = {}
+    again = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(
+            edges, nodes, cfg=dist_cfg, init_ranks=fix, stats=stats
+        ).collect()
+    }
+    want = {r["doc_id"]: r["page_rank"] for r in fix.collect()}
+    assert stats["iterations"] == 1, stats
+    for k in want:
+        assert math.isclose(again[k], want[k], abs_tol=5e-5), k
+
+    # init vector missing some nodes: still converges to the fixpoint.
+    # Tolerance: the max-delta<=eps stopping rule leaves up to
+    # eps*d/(1-d) ~ 5.7e-5 residual per run, and the two runs stop at
+    # different points — bound the gap by twice that.
+    partial = fix.where("doc_id <= 3")
+    got = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(
+            edges, nodes, cfg=dist_cfg, init_ranks=partial
+        ).collect()
+    }
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1.2e-4), k
