@@ -780,16 +780,33 @@ def q_minhash_pairs(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _sql_minhash_pairs() -> str:
-    sigs = ",\n".join(
-        f"  min(md5('{i}#' || shingle)) AS sig_{i}" for i in range(N_MINHASH)
+def _minhash_sig_exprs() -> str:
+    # mirrors dedup._minhash_from_sets: one 32-bit md5 prefix per shingle,
+    # K arithmetic permutations (a_i*h + b_i) mod MH_P — identical int64
+    # arithmetic in Spark and DuckDB
+    from search_engine_spark.operators.dedup import MH_A, MH_B, MH_P
+
+    return ",\n".join(
+        f"  min(({MH_A[i]} * hv + {MH_B[i]}) % {MH_P}) AS sig_{i}"
+        for i in range(N_MINHASH)
     )
+
+
+_MINHASH_HV_CTE = """
+shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh
+)"""
+
+
+def _sql_minhash_pairs() -> str:
+    sigs = _minhash_sig_exprs()
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS band, sig_{i} AS val FROM sig"
         for i in range(N_MINHASH)
     )
     return SHINGLE_CTE + f""",
-sig AS (SELECT doc_id,\n{sigs}\nFROM sh GROUP BY doc_id),
+{_MINHASH_HV_CTE},
+sig AS (SELECT doc_id,\n{sigs}\nFROM shh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -822,10 +839,10 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def _sql_minhash_signatures() -> str:
-    sigs = ",\n".join(
-        f"  min(md5('{i}#' || shingle)) AS sig_{i}" for i in range(N_MINHASH)
-    )
-    return SHINGLE_CTE + f"\nSELECT doc_id,\n{sigs}\nFROM sh GROUP BY doc_id"
+    sigs = _minhash_sig_exprs()
+    return SHINGLE_CTE + f""",
+{_MINHASH_HV_CTE}
+SELECT doc_id,\n{sigs}\nFROM shh GROUP BY doc_id"""
 
 
 SQL_MINHASH_SIGNATURES = _sql_minhash_signatures()

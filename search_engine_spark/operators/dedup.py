@@ -7,7 +7,8 @@ plan (no driver-side pairwise loops):
   * shingles           — word n-gram shingling, JVM-side array ops
   * ngram_jaccard_pairs— shingle-inverted-index self-join: pairs sharing a
                          shingle -> |∩| by groupBy, |∪| from per-doc sizes
-  * minhash_signatures — K independent min-hashes via min(md5(seed#shingle))
+  * minhash_signatures — K min-hashes: one 32-bit hash per shingle, K
+                         arithmetic permutations (a_i*h+b_i) mod p
   * minhash_lsh_pairs  — banded LSH: candidates share >=1 band, verified
                          with exact Jaccard
   * simhash            — 60-bit fingerprint from per-term hash bit votes
@@ -18,9 +19,13 @@ Scale notes:
     create 1e12 candidate rows). Dropped shingles only lose candidate
     RECALL for near-dup detection of boilerplate — the exact verify step
     is unaffected. Set None to disable (the SQL-oracle-checked config).
-  * min-hash uses md5 hex-string minima: lexicographic min over a uniform
-    hash is a valid min-hash and is reproducible in any SQL engine
-    (enables the DuckDB oracle), no custom UDF needed.
+  * min-hash hashes each shingle ONCE (32 bits of md5) and derives the K
+    permutations arithmetically — sig_i = min((a_i*h + b_i) mod p) with
+    p the smallest prime > 2^32 and a_i < 2^31 so every product fits a
+    signed 64-bit integer in both Spark and standard SQL (enables the
+    DuckDB oracle, no custom UDF). One hash + K multiplies per shingle
+    instead of K md5s: the signature stage is ~K× cheaper, which at
+    100 TB is the difference between one content pass and K.
   * simhash uses the first 15 hex chars (60 bits) of md5 so the value
     fits a signed 64-bit integer in both Spark and standard SQL.
 """
@@ -31,6 +36,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 60
+
+# --- min-hash permutation family: sig_i(h) = (a_i*h + b_i) mod MH_P ---
+# MH_P: smallest prime > 2^32 (so every 32-bit shingle hash is a distinct
+# residue); a_i odd < 2^31 keeps a_i*h < 2^63 (no int64 overflow, Spark
+# and DuckDB agree exactly). Constants are a fixed Weyl-style sequence —
+# deterministic, importable by the oracle-SQL builder.
+MH_P = 4294967311
+MH_A = [((2654435761 * (2 * i + 1)) % (1 << 31)) | 1 for i in range(64)]
+MH_B = [(2246822519 * (i + 1)) % MH_P for i in range(64)]
+
+
+def _shingle_hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 → uniform 32-bit non-negative bigint;
+    identical in Spark (`conv`) and DuckDB (`('0x'||hex)::BIGINT`)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
 def exact_dedup(
@@ -171,27 +191,40 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{K-1}): K independent min-hashes, each the
-    lexicographic min of md5("<seed>#"+shingle) over the doc's shingle
-    set. Computed narrowly from the per-doc shingle array
-    (transform + array_min) — no shuffle at all."""
+    """(doc_id, sig_0..sig_{K-1}): K independent min-hashes — each
+    shingle hashed ONCE (32-bit md5 prefix), then K arithmetic
+    permutations ``min((a_i*h + b_i) mod MH_P)``. Computed narrowly from
+    the per-doc shingle array (transform + array_min) — no shuffle at
+    all, and one md5 per shingle instead of K."""
     return _minhash_from_sets(
         doc_shingle_sets(df, text_col, id_col, n), num_hashes
     ).drop("shs", "n_sh")
 
 
 def _minhash_from_sets(sets: DataFrame, num_hashes: int) -> DataFrame:
+    if num_hashes > len(MH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the permutation family "
+            f"size {len(MH_A)}"
+        )
+
     def sig(i: int) -> Column:
+        a, b = MH_A[i], MH_B[i]
         # NB: the transform lambda must be single-argument — a second
         # parameter would be bound to the array index by Spark
-        prefix = f"{i}#"
         return F.array_min(
             F.transform(
-                F.col("shs"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+                F.col("_hs32"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MH_P),
             )
         ).alias(f"sig_{i}")
 
-    return sets.select("*", *[sig(i) for i in range(num_hashes)])
+    hashed = sets.withColumn(
+        "_hs32", F.transform(F.col("shs"), _shingle_hash32)
+    )
+    return hashed.select(
+        *sets.columns, *[sig(i) for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -456,11 +489,45 @@ def embedding_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _components_local(spark, rows) -> DataFrame:
+    """Driver-side union-find (path compression + union by min label)
+    for sub-threshold pair graphs — exact same (node, min-reachable-id)
+    contract as the distributed loop, without one Spark round per
+    propagation step."""
+    from ..session import local_df
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root = the component's min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return local_df(
+        spark,
+        sorted((n, find(n)) for n in parent),
+        "node long, component long",
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) labels over the undirected near-dup pair
     graph: ``component`` = the smallest node id reachable from
@@ -480,7 +547,29 @@ def connected_components(
     the plan flat, stops when a round changes no label, and RAISES if
     ``max_iter`` rounds don't converge rather than returning wrong
     labels. Deterministic; nothing materializes driver-side except the
-    converged flag."""
+    converged flag.
+
+    ``local_threshold``: pair graphs with at most this many rows are
+    solved by an exact driver-side union-find instead (same design as
+    ``pagerank_local_threshold``): the pair graph holds ONLY near-dup
+    members — usually a tiny fraction of the corpus — and each
+    distributed round costs two joins + a groupBy, so below the
+    threshold the fixed per-round job overhead dominates. The probe is
+    a ``limit(threshold+1).collect()`` (bounded driver memory: 16
+    bytes/row); past it, the full distributed loop runs. Set 0 to
+    force the distributed path."""
+    if local_threshold > 0:
+        probe = (
+            pairs.select(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            )
+            .limit(local_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= local_threshold:
+            return _components_local(
+                pairs.sparkSession, [(r[0], r[1]) for r in probe]
+            )
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"),

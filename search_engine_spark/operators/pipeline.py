@@ -70,12 +70,29 @@ def prepare_training_data(
     n = cur.count()
     report.counts["input"] = n
 
+    # Each stage ends in a count() for the report; without a persist the
+    # count of stage k would re-execute stages 1..k-1 every time (O(k²)
+    # corpus scans). Persist the survivor frame per stage and drop the
+    # previous stage's copy once the next is materialized. At 100 TB the
+    # same shape holds with MEMORY_AND_DISK spill — or write each stage
+    # to a table and read it back, which is what a production run of
+    # jobs/prepare_training_data_job.py over petabytes would do between
+    # stages; the join-back-to-text structure is unchanged either way.
+    _prev: list[DataFrame] = []
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+        df = df.persist()
+        cnt = df.count()
+        while _prev:
+            _prev.pop().unpersist()
+        _prev.append(df)
+        return df, cnt
+
     if lang is not None:
         keep = langid(cur, text_col=text_col, id_col=id_col).where(
             F.col("pred_lang") == lang
         ).select(F.col("doc_id").alias(id_col))
-        cur = cur.join(keep, id_col, "left_semi")
-        n2 = cur.count()
+        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
         report.record("langid", n, n2)
         n = n2
 
@@ -85,8 +102,7 @@ def prepare_training_data(
         ).where(F.col("score") >= min_quality).select(
             F.col("doc_id").alias(id_col)
         )
-        cur = cur.join(keep, id_col, "left_semi")
-        n2 = cur.count()
+        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
         report.record("quality", n, n2)
         n = n2
 
@@ -94,8 +110,7 @@ def prepare_training_data(
         keep = exact_dedup(cur, text_col=text_col, id_col=id_col).select(
             F.col("keep_id").alias(id_col)
         )
-        cur = cur.join(keep, id_col, "left_semi")
-        n2 = cur.count()
+        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
         report.record("exact_dedup", n, n2)
         n = n2
 
@@ -107,19 +122,21 @@ def prepare_training_data(
             num_hashes=num_hashes,
             threshold=minhash_threshold,
         )
-        cur = drop_near_duplicates(
-            cur, pairs, id_col=id_col, id_a="doc_a", id_b="doc_b"
+        cur, n2 = _materialize(
+            drop_near_duplicates(
+                cur, pairs, id_col=id_col, id_a="doc_a", id_b="doc_b"
+            )
         )
-        n2 = cur.count()
         report.record("near_dup", n, n2)
         n = n2
 
     if eval_df is not None:
-        cur = decontaminate(
-            cur, eval_df, text_col=text_col, id_col=id_col,
-            n=decontam_ngram,
+        cur, n2 = _materialize(
+            decontaminate(
+                cur, eval_df, text_col=text_col, id_col=id_col,
+                n=decontam_ngram,
+            )
         )
-        n2 = cur.count()
         report.record("decontam", n, n2)
         n = n2
 

@@ -126,8 +126,13 @@ def test_connected_components_vs_python(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df).collect()  # local path
     }
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got == got_dist
 
     parent = {}
     def find(x):
@@ -180,9 +185,13 @@ def test_connected_components_random_graphs(spark):
         if not pairs:
             continue
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        # odd seeds take the distributed loop, even seeds the
+        # sub-threshold union-find — both must match the oracle
         got = {
             r["node"]: r["component"]
-            for r in connected_components(df).collect()
+            for r in connected_components(
+                df, local_threshold=0 if seed % 2 else 200_000
+            ).collect()
         }
         parent = {}
         def find(x):
@@ -209,6 +218,8 @@ def test_connected_components_long_path(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df, max_iter=20).collect()
+        for r in connected_components(
+            df, max_iter=20, local_threshold=0
+        ).collect()
     }
     assert set(got.values()) == {0} and len(got) == 201
