@@ -1367,10 +1367,13 @@ def q_pq_ann(spark, sf_dir):
 
 
 def q_vector_index_exact(spark, sf_dir):
-    """Persisted ANN index (VectorIndex.build → save → load → topk on
-    the exact dial): value-identical to brute-force cosine — shares
-    SQL_ANN_COSINE. Pins the whole artifact lifecycle (cluster-
-    partitioned parquet + codebook meta) under the DuckDB oracle."""
+    """Persisted ANN index — the FULL incremental lifecycle under the
+    oracle (r04): build on a partial corpus → save → ``append_to`` the
+    held-out delta PLUS junk vectors → ``remove_ids`` the junk → load →
+    exact topk. The surviving set is exactly the embeddings table, so
+    brute-force cosine (SQL_ANN_COSINE) answers it: any row the append
+    dropped, the remove missed, or a partition rewrite corrupted would
+    hash-mismatch."""
     import tempfile
 
     from search_engine_spark.operators.vector_index import VectorIndex
@@ -1381,8 +1384,16 @@ def q_vector_index_exact(spark, sf_dir):
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     d = tempfile.mkdtemp(prefix="se_vidx_gate_")
-    VectorIndex.build(emb, dim=len(qvec), n_centroids=8, ks=64).save(d)
-    vidx = VectorIndex.load(spark, d)
+    base = emb.where(F.col("vec_id") % 7 != 0)
+    junk = emb.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    delta = emb.where(F.col("vec_id") % 7 == 0).unionByName(junk)
+    VectorIndex.build(base, dim=len(qvec), n_centroids=8, ks=64).save(d)
+    VectorIndex.append_to(spark, d, delta)
+    vidx = VectorIndex.remove_ids(
+        spark, d, [int(r["vec_id"]) for r in junk.collect()]
+    )
     return vidx.topk(qvec, k=10, exact=True, exclude_ids=[0]).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )

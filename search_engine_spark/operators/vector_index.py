@@ -90,6 +90,136 @@ class VectorIndex:
         )
         return cls(vec, cb, cents, dim)
 
+    # -- incremental maintenance ---------------------------------------------
+
+    def add_vectors(
+        self,
+        delta: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "VectorIndex":
+        """New index over the UNION of this index's rows and ``delta``
+        (new vec_id/embedding rows), encoded with the EXISTING coarse
+        centroids and PQ codebooks — the standard IVF/PQ insert: no
+        retraining, two narrow Arrow passes over the delta only. The
+        exact dial stays brute-force-identical over the union by
+        construction; approximate recall degrades only if the delta
+        shifts the distribution the quantizers were trained on (after
+        a large drift, rebuild — same judgement call as a text-index
+        full rebuild vs LSM merge)."""
+        enc = pq_attach(
+            ivf_assign(delta, self.cents, id_col=id_col, vec_col=vec_col),
+            self.codebooks,
+        )
+        return VectorIndex(
+            self.vectors.unionByName(enc),
+            self.codebooks,
+            self.cents,
+            self.dim,
+        )
+
+    @classmethod
+    def append_to(
+        cls,
+        spark: SparkSession,
+        path: str,
+        delta: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "VectorIndex":
+        """Append ``delta`` to a SAVED index without touching existing
+        rows: encode with the saved centroids/codebooks and
+        parquet-APPEND into the same ``vectors/cluster=K/`` layout —
+        only the delta is written (new files inside the touched cluster
+        directories; untouched clusters gain no bytes). Meta's
+        n_vectors is updated. Returns the reloaded index."""
+        base = cls.load(spark, path)
+        enc = pq_attach(
+            ivf_assign(delta, base.cents, id_col=id_col, vec_col=vec_col),
+            base.codebooks,
+        )
+        n_delta = enc.count()
+        enc.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(path, "vectors")
+        )
+        cls._write_meta(
+            spark, path, base, n_vectors=base.n_vectors + n_delta
+        )
+        return cls.load(spark, path)
+
+    @classmethod
+    def remove_ids(
+        cls,
+        spark: SparkSession,
+        path: str,
+        ids: list[int],
+        id_col: str = "vec_id",
+    ) -> "VectorIndex":
+        """Delete vectors from a SAVED index by id, rewriting ONLY the
+        cluster partitions that contain them (CDC tombstone compaction,
+        the `delete_docs` counterpart): the ids are looked up to find
+        their clusters, and dynamic partition overwrite rewrites just
+        those directories — at 100 TB a delete of k vectors touches at
+        most k cluster partitions, never the whole index."""
+        base = cls.load(spark, path)
+        idf = local_df(
+            spark, [(int(i),) for i in ids], f"{id_col} long"
+        )
+        hit = (
+            base.vectors.join(F.broadcast(idf), id_col, "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        clusters = [int(r["cluster"]) for r in hit.collect()]
+        if clusters:
+            survivors = (
+                base.vectors.where(F.col("cluster").isin(clusters))
+                .join(F.broadcast(idf), id_col, "left_anti")
+                # cut the file lineage: the write overwrites partitions
+                # the plan would otherwise still be reading from
+                .localCheckpoint()
+            )
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cluster")
+                .parquet(os.path.join(path, "vectors"))
+            )
+            # a fully-emptied cluster writes no partition, so dynamic
+            # overwrite leaves its old files — drop those directories
+            left = {
+                int(r["cluster"])
+                for r in survivors.select("cluster").distinct().collect()
+            }
+            for c in set(clusters) - left:
+                import shutil
+
+                d = os.path.join(path, "vectors", f"cluster={c}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            # exact count: ids may contain unknown values
+            new_n = spark.read.parquet(
+                os.path.join(path, "vectors")
+            ).count()
+        else:
+            new_n = base.n_vectors
+        cls._write_meta(spark, path, base, n_vectors=new_n)
+        return cls.load(spark, path)
+
+    @staticmethod
+    def _write_meta(
+        spark: SparkSession, path: str, idx: "VectorIndex", n_vectors: int
+    ) -> None:
+        meta = {
+            "dim": idx.dim,
+            "cents": idx.cents,
+            "codebooks": idx.codebooks.to_json(),
+            "n_vectors": int(n_vectors),
+        }
+        local_df(
+            spark, [(json.dumps(meta),)], "meta string"
+        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> "VectorIndex":

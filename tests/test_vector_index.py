@@ -84,3 +84,139 @@ def test_build_is_deterministic(spark, emb):
     b = VectorIndex.build(emb, dim=DIM, n_centroids=8, ks=64)
     assert a.cents == b.cents
     assert np.array_equal(a.codebooks.cents, b.codebooks.cents)
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance: append / remove on the saved layout
+# ---------------------------------------------------------------------------
+
+
+def test_append_to_equals_union_on_exact_dial(spark, emb, tmp_path):
+    """build(base) -> save -> append_to(delta): the exact dial over the
+    appended index == brute force over the FULL set; untouched cluster
+    files gain no bytes (only the delta is written)."""
+    import glob
+    import os
+
+    d = str(tmp_path / "vidx_inc")
+    base = emb.where("vec_id % 5 != 0")
+    delta = emb.where("vec_id % 5 = 0")
+    VectorIndex.build(base, dim=DIM, n_centroids=8, ks=64).save(d)
+    files_before = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(d, "vectors", "**", "*.parquet"),
+                           recursive=True)
+    }
+    appended = VectorIndex.append_to(spark, d, delta)
+    # every pre-existing file untouched byte-for-byte (size proxy)
+    for f, sz in files_before.items():
+        assert os.path.getsize(f) == sz, f
+    assert appended.n_vectors == N
+
+    qvec = [float(x) for x in emb.where("vec_id = 1").first()["embedding"]]
+    exact = [
+        r.vec_id
+        for r in cosine_topk(emb, qvec, k=10, exclude_ids=[1]).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in appended.topk(qvec, k=10, exact=True, exclude_ids=[1])
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_append_then_default_dial_finds_delta_neighbor(spark, emb, tmp_path):
+    """A near-duplicate of the query inserted via append_to must come
+    back first on the DEFAULT (approximate) dial — the delta rows land
+    in the right probe clusters."""
+    d = str(tmp_path / "vidx_inc2")
+    VectorIndex.build(emb, dim=DIM, n_centroids=8, ks=64).save(d)
+    qvec = [float(x) for x in emb.where("vec_id = 2").first()["embedding"]]
+    twin = [x * 1.001 for x in qvec]
+    delta = spark.createDataFrame(
+        [(10_000, twin)], "vec_id: long, embedding: array<float>"
+    )
+    appended = VectorIndex.append_to(spark, d, delta)
+    top = appended.topk(qvec, k=3, exclude_ids=[2]).collect()
+    assert top[0].vec_id == 10_000
+
+
+def test_remove_ids_partition_pruned_rewrite(spark, emb, tmp_path):
+    """remove_ids deletes rows and rewrites ONLY the clusters that held
+    them; the exact dial afterwards == brute force over the survivors."""
+    import glob
+    import os
+
+    d = str(tmp_path / "vidx_rm")
+    built = VectorIndex.build(emb, dim=DIM, n_centroids=8, ks=64)
+    built.save(d)
+    loaded = VectorIndex.load(spark, d)
+    victims = [3, 7, 11]
+    victim_clusters = {
+        int(r["cluster"])
+        for r in loaded.vectors.where(
+            loaded.vectors.vec_id.isin(victims)
+        ).select("cluster").distinct().collect()
+    }
+    mtimes = {}
+    for f in glob.glob(os.path.join(d, "vectors", "cluster=*")):
+        mtimes[f] = max(
+            os.path.getmtime(p)
+            for p in glob.glob(os.path.join(f, "*.parquet"))
+        )
+    removed = VectorIndex.remove_ids(spark, d, victims)
+    assert removed.n_vectors == N - len(victims)
+    assert removed.vectors.where(
+        removed.vectors.vec_id.isin(victims)
+    ).count() == 0
+    # untouched-cluster files keep their mtimes (no rewrite)
+    for f, mt in mtimes.items():
+        c = int(f.rsplit("=", 1)[1])
+        if c not in victim_clusters:
+            got = max(
+                os.path.getmtime(p)
+                for p in glob.glob(os.path.join(f, "*.parquet"))
+            )
+            assert got == mt, f
+
+    qvec = [float(x) for x in emb.where("vec_id = 4").first()["embedding"]]
+    exact = [
+        r.vec_id
+        for r in cosine_topk(
+            emb.where(~emb.vec_id.isin(victims)), qvec, k=10,
+            exclude_ids=[4],
+        ).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in removed.topk(qvec, k=10, exact=True, exclude_ids=[4])
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_remove_ids_empties_whole_cluster(spark, emb, tmp_path):
+    """Deleting every vector of a cluster drops its directory (dynamic
+    overwrite alone would leave the stale files)."""
+    import glob
+    import os
+
+    d = str(tmp_path / "vidx_rm_all")
+    VectorIndex.build(emb, dim=DIM, n_centroids=8, ks=64).save(d)
+    loaded = VectorIndex.load(spark, d)
+    one_cluster = int(loaded.vectors.first()["cluster"])
+    victims = [
+        int(r["vec_id"])
+        for r in loaded.vectors.where(
+            loaded.vectors.cluster == one_cluster
+        ).select("vec_id").collect()
+    ]
+    removed = VectorIndex.remove_ids(spark, d, victims)
+    assert not os.path.isdir(
+        os.path.join(d, "vectors", f"cluster={one_cluster}")
+    )
+    assert removed.n_vectors == N - len(victims)
+    assert removed.vectors.where(
+        removed.vectors.vec_id.isin(victims)
+    ).count() == 0
