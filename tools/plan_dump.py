@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: the formatted physical plans of the engine's
+headline operators, captured from a real session over the sf corpus,
+with the scale-relevant properties called out. The machine-checked
+versions of these properties live in tests/test_plans.py; this file is
+the human-readable companion the plans can be audited from.
+
+Usage: python tools/plan_dump.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    out = buf.getvalue()
+    # keep the operator tree + the first block of node details; the
+    # full detail listing repeats schemas and would bury the structure
+    return out.strip()
+
+
+def trim(text: str, max_lines: int = 60) -> str:
+    lines = text.splitlines()
+    if len(lines) <= max_lines:
+        return text
+    return "\n".join(lines[:max_lines]) + f"\n... ({len(lines) - max_lines} more lines)"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.session import get_spark
+
+    extra = {"spark.ui.enabled": "false"}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = get_spark(
+        master="local[8]", shuffle_partitions=8, extra_conf=extra
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs
+    from search_engine_spark.operators.decontam import decontaminate
+
+    docs = (
+        spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+        .select("doc_id", "text")
+        .cache()
+    )
+    idx_dir = tempfile.mkdtemp(prefix="se_plans_")
+    build_index(docs, text_col="text").save(idx_dir)
+    idx = Index.load(spark, idx_dir)
+
+    sections = []
+
+    def add(title: str, commentary: str, df, max_lines: int = 55):
+        sections.append(
+            f"## {title}\n\n{commentary}\n\n```\n"
+            f"{trim(fmt(df), max_lines)}\n```\n"
+        )
+
+    add(
+        "BM25 top-k (`search`, saved index)",
+        "What to look for: the postings scan reads ONLY the probed "
+        "terms' rows (`PushedFilters: In(term, ...)` reaches the "
+        "parquet scan), idf arrives as a literal map (no join), the "
+        "sum is a partial-then-final HashAggregate (map-side combine, "
+        "ONE exchange), and the result is a `TakeOrderedAndProject` "
+        "(top-k heap per partition + driver merge of k·P rows — never "
+        "a global sort). On the codec storage profile the same scan "
+        "swaps the explode for a one-Arrow-stage binary decode "
+        "(plan-asserted in test_plans.py).",
+        search(idx, "hash join", k=10),
+    )
+
+    add(
+        "Brute-force cosine top-k (`cosine_topk`)",
+        "The dot product is pure JVM column algebra (`zip_with` + "
+        "`aggregate` — no Python in the scan), and the top-k is a "
+        "`TakeOrderedAndProject`: per-partition heaps, driver merges "
+        "k·P rows. The 100 TB shape: one narrow pass, no shuffle at "
+        "all.",
+        cosine_topk(
+            spark.read.parquet(
+                os.path.join(args.sf, "embeddings.parquet")
+            ),
+            [0.1] * 64,
+            k=10,
+        ),
+        max_lines=45,
+    )
+
+    add(
+        "MinHash LSH near-dup pairs",
+        "One narrow pass builds shingle sets + signatures (one 32-bit "
+        "hash per shingle, K arithmetic permutations — no shuffle "
+        "before the band self-join); the only wide exchanges are the "
+        "band bucket-join and the two doc_id-keyed verify lookups; "
+        "exact verify is a codegen'd `array_intersect`, never a "
+        "shingle-level shuffle.",
+        minhash_lsh_pairs(docs, text_col="text", num_hashes=4,
+                          threshold=0.8),
+        max_lines=70,
+    )
+
+    add(
+        "Eval-set decontamination",
+        "The eval side reduces to a broadcast hash set of 13-gram "
+        "shingles; the training corpus is scanned ONCE and never "
+        "shuffled on content — at 100 TB the only movement is the "
+        "(small) eval shingle broadcast.",
+        decontaminate(
+            docs, docs.where(F.col("doc_id") % 41 == 0), text_col="text"
+        ),
+        max_lines=55,
+    )
+
+    body = "\n".join(sections)
+    header = (
+        "# PLANS — physical plans of the headline operators\n\n"
+        "Captured by `python tools/plan_dump.py` from a live session "
+        f"over `{args.sf}` on the CURRENT code; regenerate after any "
+        "operator change. Machine-checked assertions for these "
+        "properties (pushed filters, broadcast sides, ids-only probe "
+        "decode, codec-not-array reads, single wide exchange per "
+        "build) live in `tests/test_plans.py`.\n\n"
+    )
+    with open(args.out, "w") as f:
+        f.write(header + body)
+    print(f"wrote {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
