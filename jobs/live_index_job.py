@@ -41,6 +41,18 @@ def main() -> None:
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--no-stopwords", action="store_true")
     ap.add_argument("--docs-per-shard", type=int, default=None)
+    ap.add_argument(
+        "--refresh-pagerank",
+        action="store_true",
+        help="after the drain, recompute PageRank over the full input "
+        "corpus graph (--edges parquet of (src,dst), else the repo "
+        "ring graph), WARM-STARTED from the previous generation's "
+        "ranks, and publish it as the next generation",
+    )
+    ap.add_argument(
+        "--edges", default=None,
+        help="(src, dst) edge parquet for --refresh-pagerank",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +84,17 @@ def main() -> None:
     gen = live.process_available(
         max_files_per_batch=args.max_files_per_batch
     )
+    pr_stats: dict = {}
+    if args.refresh_pagerank and gen >= 0:
+        if args.edges:
+            edges = spark.read.parquet(args.edges)
+        else:
+            from search_engine_spark.operators.pagerank import (
+                repo_link_graph,
+            )
+
+            edges = repo_link_graph(spark.read.parquet(args.input))
+        gen = live.refresh_pagerank(edges, stats=pr_stats)
     pruned = (
         prune_generations(args.root, keep=args.keep_generations)
         if args.keep_generations
@@ -85,6 +108,7 @@ def main() -> None:
                 "n_docs": ptr.get("n_docs"),
                 "batches_this_run": live.batches_published,
                 "pruned_generations": pruned,
+                "pagerank_iterations": pr_stats.get("iterations"),
                 "wall_sec": round(time.perf_counter() - t0, 2),
             }
         )

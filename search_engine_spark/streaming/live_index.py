@@ -146,6 +146,71 @@ class StreamingLiveIndex:
         finally:
             docs_b.unpersist()
 
+    def refresh_pagerank(
+        self,
+        edges: DataFrame,
+        stats: dict | None = None,
+    ) -> int:
+        """Nightly-rank-refresh step for the live loop: recompute
+        PageRank over the CURRENT published corpus, warm-started from
+        the previous generation's saved ranks
+        (:func:`operators.pagerank.incremental_pagerank` — same
+        fixpoint, ~log(δ0)/log(d) fewer edge-join rounds after a small
+        delta), write the new ranks into the docs projection and
+        publish it as the next generation. Serving tiers that
+        ``refresh()`` pick up the new mix automatically (the docs
+        artifact auto-arms PageRank).
+
+        ``edges``: (src, dst) doc-id edges for the current corpus —
+        the docs PROJECTION carries no link columns, so the graph
+        comes from the caller (e.g. ``repo_link_graph`` over the
+        corpus table, or the extracted-links job output). Returns the
+        published generation number."""
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators.pagerank import (
+            incremental_pagerank,
+            pagerank,
+        )
+
+        idx = load_latest_index(self.spark, self.root)
+        if idx is None:
+            raise ValueError(
+                f"no published generation under {self.root!r}"
+            )
+        nodes = (
+            idx.docs if idx.docs is not None else idx.doc_stats
+        ).select("doc_id")
+        prev = None
+        if idx.docs is not None and "page_rank" in idx.docs.columns:
+            prev = idx.docs.select("doc_id", "page_rank").where(
+                F.coalesce(F.col("page_rank"), F.lit(0.0)) > 0.0
+            )
+            if not prev.head(1):
+                prev = None
+        pr = (
+            incremental_pagerank(
+                edges, nodes, prev, cfg=self.cfg, stats=stats
+            )
+            if prev is not None
+            else pagerank(edges, nodes, cfg=self.cfg, stats=stats)
+        )
+        base_docs = idx.docs if idx.docs is not None else nodes
+        new_docs = (
+            base_docs.drop("page_rank")
+            .join(pr, "doc_id", "left")
+            .fillna(0.0, subset=["page_rank"])
+        )
+        import dataclasses
+
+        publish_index(
+            dataclasses.replace(idx, docs=new_docs, path=None),
+            self.root,
+        )
+        self.batches_published += 1
+        ptr = read_latest(self.root)
+        return ptr["generation"] if ptr else -1
+
     def process_available(
         self, max_files_per_batch: int | None = None
     ) -> int:

@@ -158,3 +158,69 @@ def test_cdc_tombstones_compact_deletions(spark, tmp_path):
     srv = ServingIndex.load_latest(root)
     assert srv.n_docs == 240 - 20
     assert 7 in {d for d, *_ in srv.search("zzzrecrawl", k=5)}
+
+
+def test_refresh_pagerank_publishes_warm_started_ranks(spark, tmp_path):
+    """Live loop + rank refresh: after a corpus-growing wave,
+    ``refresh_pagerank`` publishes a generation whose docs carry ranks
+    equal to a cold PageRank over the same graph (same fixpoint), the
+    serving tier auto-arms them, and the warm start costs fewer
+    iterations than the cold run."""
+    from search_engine_spark.operators.pagerank import (
+        pagerank,
+        repo_link_graph,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_pr")
+
+    corpus1 = generate_corpus(spark, 120, seed=9)
+    corpus1.write.mode("append").parquet(corpus_dir)
+    live = StreamingLiveIndex(spark, corpus_dir, root, cfg=CFG)
+    live.process_available()
+
+    stats1: dict = {}
+    gen_a = live.refresh_pagerank(repo_link_graph(corpus1), stats=stats1)
+    idx_a = load_latest_index(spark, root)
+    assert "page_rank" in idx_a.docs.columns
+    ranked_a = {
+        r["doc_id"]: r["page_rank"]
+        for r in idx_a.docs.select("doc_id", "page_rank").collect()
+    }
+    assert sum(1 for v in ranked_a.values() if v > 0) > 0
+
+    # wave 2: corpus grows 120 -> 150; refresh warm-starts from gen_a
+    corpus2 = generate_corpus(spark, 150, seed=9)
+    corpus2.where(F.col("doc_id") >= 120).write.mode("append").parquet(
+        corpus_dir
+    )
+    live.process_available()
+    stats2: dict = {}
+    gen_b = live.refresh_pagerank(repo_link_graph(corpus2), stats=stats2)
+    assert gen_b > gen_a
+
+    idx_b = load_latest_index(spark, root)
+    got = {
+        r["doc_id"]: r["page_rank"]
+        for r in idx_b.docs.select("doc_id", "page_rank").collect()
+    }
+    cold = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(
+            repo_link_graph(corpus2),
+            corpus2.select("doc_id"),
+            cfg=CFG,
+        ).collect()
+    }
+    assert set(got) == set(cold)
+    eps_bound = 2 * CFG.pagerank_epsilon * 0.85 / 0.15
+    for d, v in cold.items():
+        assert abs(got[d] - v) <= eps_bound, (d, v, got[d])
+    # the warm start must not iterate MORE than the cold run did
+    assert stats2["iterations"] <= stats1["iterations"]
+
+    # serving auto-arms the published ranks from the docs artifact
+    srv = ServingIndex.load_latest(root)
+    assert srv._pr and not srv._pr_explicit
+    for d, v in srv._pr.items():
+        assert abs(got[d] - v) < 1e-12

@@ -403,10 +403,15 @@ def test_live_index_via_spark_submit(corpus_path, tmp_path):
         "--input", corpus_path,
         "--root", root,
         "--no-stem", "--no-stopwords",
+        "--refresh-pagerank",
     )
     rep2 = json.loads(stdout2.strip().splitlines()[-1])
-    assert rep2["generation"] == gen  # nothing new -> no publish
-    assert rep2["batches_this_run"] == 0
+    # nothing new -> no merge publish; gen unchanged means the rank
+    # refresh (which publishes) was correctly skipped on gen == -1...
+    # here gen >= 0, so the refresh DID publish a ranked generation
+    assert rep2["generation"] == gen + 1
+    assert rep2["batches_this_run"] == 1
+    assert rep2["pagerank_iterations"] >= 1
 
     from search_engine_spark.serving import ServingIndex
 
