@@ -223,3 +223,22 @@ def test_connected_components_long_path(spark):
         ).collect()
     }
     assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_hashed_join_matches_string_join(frames, spark):
+    """contamination_stats(hashed=True) — the big-eval-set broadcast
+    mode — must produce the same (doc_id, n_shared) rows as the string
+    join (60-bit hash, no collisions at any realistic test scale)."""
+    tr, ev = frames
+    for n in (2, 3):
+        a = {
+            (r["doc_id"], r["n_shared"])
+            for r in contamination_stats(tr, ev, n=n).collect()
+        }
+        b = {
+            (r["doc_id"], r["n_shared"])
+            for r in contamination_stats(
+                tr, ev, n=n, hashed=True
+            ).collect()
+        }
+        assert a == b, n
