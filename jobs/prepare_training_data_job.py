@@ -82,6 +82,7 @@ def main() -> None:
             {
                 "counts": report.counts,
                 "dropped": report.dropped,
+                "stage_secs": report.secs,
                 "wall_sec": round(time.perf_counter() - t0, 2),
                 "output": args.output,
             }

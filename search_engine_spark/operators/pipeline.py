@@ -31,10 +31,16 @@ from pyspark.sql import functions as F
 class PipelineReport:
     counts: dict = field(default_factory=dict)   # stage -> surviving docs
     dropped: dict = field(default_factory=dict)  # stage -> docs removed
+    secs: dict = field(default_factory=dict)     # stage -> wall seconds
 
-    def record(self, stage: str, before: int, after: int) -> None:
+    def record(
+        self, stage: str, before: int, after: int,
+        secs: float | None = None,
+    ) -> None:
         self.counts[stage] = after
         self.dropped[stage] = before - after
+        if secs is not None:
+            self.secs[stage] = round(secs, 3)
 
 
 def prepare_training_data(
@@ -78,22 +84,26 @@ def prepare_training_data(
     # to a table and read it back, which is what a production run of
     # jobs/prepare_training_data_job.py over petabytes would do between
     # stages; the join-back-to-text structure is unchanged either way.
-    _prev: list[DataFrame] = []
+    import time
 
-    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+    _prev: list[DataFrame] = []
+    _t0 = [time.perf_counter()]
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, int, float]:
         df = df.persist()
         cnt = df.count()
         while _prev:
             _prev.pop().unpersist()
         _prev.append(df)
-        return df, cnt
+        dt, _t0[0] = time.perf_counter() - _t0[0], time.perf_counter()
+        return df, cnt, dt
 
     if lang is not None:
         keep = langid(cur, text_col=text_col, id_col=id_col).where(
             F.col("pred_lang") == lang
         ).select(F.col("doc_id").alias(id_col))
-        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
-        report.record("langid", n, n2)
+        cur, n2, dt = _materialize(cur.join(keep, id_col, "left_semi"))
+        report.record("langid", n, n2, secs=dt)
         n = n2
 
     if min_quality is not None:
@@ -102,16 +112,16 @@ def prepare_training_data(
         ).where(F.col("score") >= min_quality).select(
             F.col("doc_id").alias(id_col)
         )
-        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
-        report.record("quality", n, n2)
+        cur, n2, dt = _materialize(cur.join(keep, id_col, "left_semi"))
+        report.record("quality", n, n2, secs=dt)
         n = n2
 
     if exact:
         keep = exact_dedup(cur, text_col=text_col, id_col=id_col).select(
             F.col("keep_id").alias(id_col)
         )
-        cur, n2 = _materialize(cur.join(keep, id_col, "left_semi"))
-        report.record("exact_dedup", n, n2)
+        cur, n2, dt = _materialize(cur.join(keep, id_col, "left_semi"))
+        report.record("exact_dedup", n, n2, secs=dt)
         n = n2
 
     if minhash_threshold is not None:
@@ -122,22 +132,22 @@ def prepare_training_data(
             num_hashes=num_hashes,
             threshold=minhash_threshold,
         )
-        cur, n2 = _materialize(
+        cur, n2, dt = _materialize(
             drop_near_duplicates(
                 cur, pairs, id_col=id_col, id_a="doc_a", id_b="doc_b"
             )
         )
-        report.record("near_dup", n, n2)
+        report.record("near_dup", n, n2, secs=dt)
         n = n2
 
     if eval_df is not None:
-        cur, n2 = _materialize(
+        cur, n2, dt = _materialize(
             decontaminate(
                 cur, eval_df, text_col=text_col, id_col=id_col,
                 n=decontam_ngram,
             )
         )
-        report.record("decontam", n, n2)
+        report.record("decontam", n, n2, secs=dt)
         n = n2
 
     slices = None
