@@ -1909,8 +1909,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_metadata": q_doc_metadata,
     "extract_links": q_extract_links,
     "suggest_prefix": q_suggest_prefix,
-    "suggest_trie": q_suggest_trie,
-    "top_terms": q_top_terms,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_signatures": q_minhash_signatures,
@@ -1923,33 +1921,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "stratified_sample": q_stratified_sample,
     "events_recent": q_events_recent,
-    "pricing_summary": q_pricing_summary,
     "pagerank_fixed_dist": q_pagerank_fixed_dist,
     "lsh_ann_exact": q_lsh_ann_exact,
     "ivf_ann_exact": q_ivf_ann_exact,
     "embed_dup_lsh_exact": q_embed_dup_lsh_exact,
-    "fingerprint_rolling": q_fingerprint_rolling,
     "media_stats": q_media_stats,
-    "sample_frames": q_sample_frames,
     "snippets": q_snippets,
     "embed_dup_pairs": q_embed_dup_pairs,
     "url_normalize": q_url_normalize,
     "streaming_topk": q_streaming_topk,
-    # --- entries past the driver gate's 50-record cap ---
-    # decontam and pagerank_fixed ARE oracle-checked
-    # (tests/test_driver_contract.py runs every entry vs DuckDB); they
-    # sit past the cap to free slots for merged_bm25_topk (r03 verdict
-    # #1) — pagerank_fixed's distributed twin pagerank_fixed_dist stays
-    # in the recorded 50 and shares its SQL. The rest are rows-only (no
-    # oracle SQL) by design.
     "decontam": q_decontam,
-    "pagerank_fixed": q_pagerank_fixed,
+    # round-4 flagship lifecycles, inside the recorded window:
     "pq_ann_exact": q_pq_ann_exact,
-    "pq_ann": q_pq_ann,
     "pack_slices": q_pack_slices,
     "vector_index_exact": q_vector_index_exact,
     "dedup_components": q_dedup_components,
     "live_loop_topk": q_live_loop_topk,
+    # --- entries past the driver gate's 50-record cap ---
+    # EVERY entry down to embed_dup_lsh is still oracle-checked in
+    # tests/test_driver_contract.py (it runs the whole registry vs
+    # DuckDB); the cap only bounds what CORRECTNESS_r{N}.json records.
+    # suggest_trie / top_terms / pricing_summary / fingerprint_rolling /
+    # sample_frames / pagerank_fixed ceded their recorded slots to the
+    # round-4 lifecycle entries above — each is the less-load-bearing
+    # twin of an entry that stayed (suggest_prefix, term_stats,
+    # doc_lengths, fingerprint, media_stats, pagerank_fixed_dist).
+    # pq_ann / lsh_ann / ivf_ann / media_features / embed_dup_lsh /
+    # pagerank_top are rows-only (no oracle SQL) by design.
+    "suggest_trie": q_suggest_trie,
+    "top_terms": q_top_terms,
+    "pricing_summary": q_pricing_summary,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "sample_frames": q_sample_frames,
+    "pagerank_fixed": q_pagerank_fixed,
+    "pq_ann": q_pq_ann,
     "pagerank_top": q_pagerank_top,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,

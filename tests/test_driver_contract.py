@@ -113,5 +113,14 @@ def test_gate_cap_discipline():
     assert all(n in ORACLES for n in first50), [
         n for n in first50 if n not in ORACLES
     ]
-    # the round-4 lifecycle entry must sit inside the recorded window
-    assert "merged_bm25_topk" in first50
+    # the round-4 lifecycle entries must sit inside the recorded window
+    for flagship in (
+        "merged_bm25_topk",
+        "vector_index_exact",
+        "dedup_components",
+        "live_loop_topk",
+        "pack_slices",
+        "pq_ann_exact",
+        "decontam",
+    ):
+        assert flagship in first50, flagship
