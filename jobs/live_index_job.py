@@ -92,8 +92,25 @@ def main() -> None:
             from search_engine_spark.operators.pagerank import (
                 repo_link_graph,
             )
+            from search_engine_spark.publish import load_latest_index
 
-            edges = repo_link_graph(spark.read.parquet(args.input))
+            # the raw stream dir accumulates EVERY recrawled version
+            # and CDC tombstone row — duplicate doc_ids would put
+            # self-loops in the ring graph and tombstoned docs would
+            # siphon rank mass. Restrict to one row per doc_id, and to
+            # the PUBLISHED live set (the index knows which docs
+            # survived compaction).
+            corpus = spark.read.parquet(args.input).dropDuplicates(
+                ["doc_id"]
+            )
+            idx = load_latest_index(spark, args.root)
+            live_ids = (
+                idx.docs if idx.docs is not None else idx.doc_stats
+            ).select("doc_id")
+            # plain semi-join: AQE broadcasts the id list when small
+            edges = repo_link_graph(
+                corpus.join(live_ids, "doc_id", "left_semi")
+            )
         gen = live.refresh_pagerank(edges, stats=pr_stats)
     pruned = (
         prune_generations(args.root, keep=args.keep_generations)

@@ -77,6 +77,7 @@ def main() -> None:
         slices.write.mode("overwrite").parquet(
             os.path.join(args.output, "slices")
         )
+    clean.unpersist()  # the returned frame stays persisted for the caller
     print(
         json.dumps(
             {

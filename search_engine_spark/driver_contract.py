@@ -1385,14 +1385,21 @@ def q_vector_index_exact(spark, sf_dir):
     ]
     d = tempfile.mkdtemp(prefix="se_vidx_gate_")
     base = emb.where(F.col("vec_id") % 7 != 0)
-    junk = emb.limit(5).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    # junk ids must be DETERMINISTIC across uses: an unordered
+    # limit(5) evaluated twice (append + removal list) could pick
+    # different rows — collect once, build both sides from the rows
+    junk_rows = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .collect()
     )
+    junk = spark.createDataFrame(junk_rows, emb.schema)
     delta = emb.where(F.col("vec_id") % 7 == 0).unionByName(junk)
     VectorIndex.build(base, dim=len(qvec), n_centroids=8, ks=64).save(d)
     VectorIndex.append_to(spark, d, delta)
     vidx = VectorIndex.remove_ids(
-        spark, d, [int(r["vec_id"]) for r in junk.collect()]
+        spark, d, [int(r["vec_id"]) for r in junk_rows]
     )
     return vidx.topk(qvec, k=10, exact=True, exclude_ids=[0]).select(
         "vec_id", F.round("cosine", 4).alias("cosine")

@@ -558,7 +558,15 @@ def connected_components(
     a ``limit(threshold+1).collect()`` (bounded driver memory: 16
     bytes/row); past it, the full distributed loop runs. Set 0 to
     force the distributed path."""
+    _probed = False
     if local_threshold > 0:
+        # persist before probing: the pair EMITTER upstream (e.g. the
+        # LSH band join + exact verify) is the expensive part — without
+        # this, a graph just past the threshold would pay for it twice
+        # (once for the probe, again when the distributed loop builds
+        # its edge table)
+        pairs = pairs.persist()
+        _probed = True
         probe = (
             pairs.select(
                 F.col(id_a).cast("long"), F.col(id_b).cast("long")
@@ -567,9 +575,11 @@ def connected_components(
             .collect()
         )
         if len(probe) <= local_threshold:
-            return _components_local(
+            out = _components_local(
                 pairs.sparkSession, [(r[0], r[1]) for r in probe]
             )
+            pairs.unpersist()
+            return out
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
@@ -590,6 +600,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    if _probed:
+        # the edge table is materialized past this point (labels'
+        # localCheckpoint evaluated it); the probe cache can go
+        pairs.unpersist()
     for _ in range(max_iter):
         # step 1: min over neighbors' current labels
         nbr = (

@@ -58,7 +58,12 @@ def prepare_training_data(
 ) -> tuple[DataFrame, DataFrame | None, PipelineReport]:
     """Returns (clean_docs, slice_rows_or_None, report). Pass ``None``
     for a stage's knob to skip it (``exact=False`` to skip exact
-    dedup)."""
+    dedup).
+
+    ``clean_docs`` comes back PERSISTED (the last stage's cache, kept
+    so the caller's terminal write doesn't recompute the chain) —
+    ``clean_docs.unpersist()`` after materializing it, or each call in
+    a long-lived session leaks one corpus-sized cached frame."""
     from search_engine_spark.operators.decontam import decontaminate
     from search_engine_spark.operators.dedup import (
         drop_near_duplicates,

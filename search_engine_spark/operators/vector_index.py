@@ -137,11 +137,14 @@ class VectorIndex:
         enc = pq_attach(
             ivf_assign(delta, base.cents, id_col=id_col, vec_col=vec_col),
             base.codebooks,
-        )
-        n_delta = enc.count()
-        enc.write.mode("append").partitionBy("cluster").parquet(
-            os.path.join(path, "vectors")
-        )
+        ).persist()  # count + write must not each re-run the encode
+        try:
+            n_delta = enc.count()
+            enc.write.mode("append").partitionBy("cluster").parquet(
+                os.path.join(path, "vectors")
+            )
+        finally:
+            enc.unpersist()
         cls._write_meta(
             spark, path, base, n_vectors=base.n_vectors + n_delta
         )
@@ -179,6 +182,14 @@ class VectorIndex:
                 # the plan would otherwise still be reading from
                 .localCheckpoint()
             )
+            if not survivors.head(1) and not base.vectors.where(
+                ~F.col("cluster").isin(clusters)
+            ).head(1):
+                raise ValueError(
+                    "remove_ids would delete EVERY vector — an empty "
+                    "index is unreadable; delete the index directory "
+                    "instead"
+                )
             (
                 survivors.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -227,17 +238,14 @@ class VectorIndex:
         self.vectors.write.mode("overwrite").partitionBy(
             "cluster"
         ).parquet(os.path.join(path, "vectors"))
-        meta = {
-            "dim": self.dim,
-            "cents": self.cents,
-            "codebooks": self.codebooks.to_json(),
-            "n_vectors": self.n_vectors
+        self._write_meta(
+            spark,
+            path,
+            self,
+            n_vectors=self.n_vectors
             if self.n_vectors is not None
             else self.vectors.count(),
-        }
-        local_df(
-            spark, [(json.dumps(meta),)], "meta string"
-        ).write.mode("overwrite").json(os.path.join(path, "meta"))
+        )
         return self
 
     @classmethod

@@ -220,3 +220,12 @@ def test_remove_ids_empties_whole_cluster(spark, emb, tmp_path):
     assert removed.vectors.where(
         removed.vectors.vec_id.isin(victims)
     ).count() == 0
+
+
+def test_remove_ids_refuses_to_empty_the_index(spark, emb, tmp_path):
+    d = str(tmp_path / "vidx_rm_every")
+    VectorIndex.build(emb, dim=DIM, n_centroids=8, ks=64).save(d)
+    with pytest.raises(ValueError, match="EVERY vector"):
+        VectorIndex.remove_ids(spark, d, list(range(N)))
+    # index untouched and still readable
+    assert VectorIndex.load(spark, d).n_vectors == N
