@@ -1406,6 +1406,62 @@ def q_vector_index_exact(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2021 re-expressed
+    relationally): maximal token spans covered by duplicated 8-gram
+    runs, minus the per-gram (min doc, min pos) canonical occurrence.
+    The DuckDB derivation is fully independent: window row_number for
+    the keeper, gaps-and-islands for the merge."""
+    from search_engine_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), min_len=8)
+
+
+def _sql_dup_spans(L: int = 8) -> str:
+    parts = ", ".join(f"l[i+{j}]" for j in range(L))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS pos, concat_ws(' ', {parts}) AS gram
+  FROM t, UNNEST(generate_series(1, len(l) - {L - 1})) AS u(i)
+  WHERE len(l) >= {L}
+),
+d AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS occ,
+         row_number() OVER (
+           PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM sh
+),
+hits AS (
+  SELECT doc_id, pos AS s, pos + {L} AS e FROM d WHERE occ > 1 AND rn > 1
+),
+pm AS (
+  SELECT doc_id, s, e,
+         coalesce(max(e) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           AS prev_max
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN s > prev_max THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pm
+)
+SELECT doc_id,
+       min(s)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+SQL_DUP_SPANS = _sql_dup_spans()
+
+
 def q_pack_slices(spark, sf_dir):
     """LM sequence packing MATERIALIZED (r03 verdict #7): the exploded
     (seq_id, doc_id, token_start, token_end, seq_pos) slice rows a
@@ -1955,6 +2011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # doc_lengths, fingerprint, media_stats, pagerank_fixed_dist).
     # pq_ann / lsh_ann / ivf_ann / media_features / embed_dup_lsh /
     # pagerank_top are rows-only (no oracle SQL) by design.
+    "dup_spans": q_dup_spans,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2000,6 +2057,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "dup_spans": SQL_DUP_SPANS,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

@@ -32,6 +32,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -673,3 +675,135 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicated-span detection / removal)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams): maximal TOKEN spans
+    covered by exact ``min_len``-token runs that also occur elsewhere
+    in the corpus — substring-level exact dedup in the style of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2021), re-expressed relationally instead of via a suffix
+    array: a duplicated substring of length >= L is exactly a run of
+    duplicated L-grams, so the L-gram inverted index finds every such
+    region and a per-doc interval merge (gaps-and-islands) recovers the
+    maximal spans. ``span_end`` is exclusive; spans from overlapping
+    L-gram hits coalesce.
+
+    ``keep_first=True`` exempts one canonical occurrence per gram —
+    the (min doc_id, min pos) one, deterministic under any partitioning
+    — so stripping the reported spans keeps exactly one copy of every
+    repeated region corpus-wide (the paper's policy). ``False`` reports
+    every occurrence (flag-only audits).
+
+    Plan shape at 100 TB: one narrow posexplode over the corpus, one
+    groupBy on the gram (the inverted index — the only content-keyed
+    exchange, same shape the posting build survives at scale), a
+    semi/anti join back, and a doc_id-keyed window for the merge. No
+    suffix array, no driver state.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingle_array(toks, min_len)).alias("pos", "gram"),
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    dup = grams.join(per_gram.where(F.col("occ") > 1), "gram")
+    if keep_first:
+        dup = dup.where(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+    hits = dup.select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        (F.col("pos") + F.lit(min_len)).alias("end"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_prev_max",
+        F.coalesce(F.max("end").over(w), F.lit(-1)),
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("start") > F.col("_prev_max"), 1).otherwise(0)
+        ).over(
+            Window.partitionBy("doc_id")
+            .orderBy("start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Input rows with every non-canonical duplicated span removed from
+    ``text_col`` (tokens outside the spans re-joined with single
+    spaces; exactly one copy of every repeated >= ``min_len``-token
+    region survives corpus-wide). Docs without spans pass through
+    byte-identical. The span table is small (only duplicated regions),
+    so it broadcasts; the cut itself is one Arrow stage."""
+    spans = duplicated_spans(
+        df, text_col, id_col, min_len=min_len, keep_first=True
+    ).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+
+    @F.pandas_udf("string")
+    def _cut(text: pd.Series, spans_col: pd.Series) -> pd.Series:
+        out = []
+        for t, sp in zip(text, spans_col):
+            if sp is None or len(sp) == 0:
+                out.append(t)
+                continue
+            toks = t.split(" ")
+            drop = set()
+            for s in sp:
+                drop.update(range(int(s["span_start"]), int(s["span_end"])))
+            out.append(
+                " ".join(
+                    tk for i, tk in enumerate(toks) if i not in drop
+                )
+            )
+        return pd.Series(out)
+
+    joined = df.join(
+        F.broadcast(spans.withColumnRenamed("doc_id", "_sid")),
+        df[id_col] == F.col("_sid"),
+        "left",
+    ).drop("_sid")
+    return joined.withColumn(
+        text_col, _cut(F.col(text_col), F.col("_spans"))
+    ).drop("_spans")
