@@ -8,6 +8,7 @@ clusters → decontamination → packed-sequence slices.
         [--text-col content] [--doc-id-col doc_id] \\
         [--lang en | --no-langid] [--min-quality 0.3 | --no-quality] \\
         [--no-exact-dedup] [--minhash-threshold 0.8 | --no-near-dup] \\
+        [--strip-spans-min-len L] \\
         [--eval /path/to/eval_parquet] [--ngram 13] \\
         [--pack-budget 2048 | --no-pack]
 
@@ -38,6 +39,11 @@ def main() -> None:
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument(
+        "--strip-spans-min-len", type=int, default=None,
+        help="also cut duplicated >=L-token runs (substring-level "
+        "exact dedup, one canonical copy kept corpus-wide)",
+    )
     ap.add_argument("--eval")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--pack-budget", type=int, default=2048)
@@ -66,6 +72,7 @@ def main() -> None:
             None if args.no_near_dup else args.minhash_threshold
         ),
         num_hashes=args.num_hashes,
+        strip_spans_min_len=args.strip_spans_min_len,
         eval_df=eval_df,
         decontam_ngram=args.ngram,
         pack_budget=None if args.no_pack else args.pack_budget,

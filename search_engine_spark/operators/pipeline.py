@@ -7,6 +7,9 @@ repo's operators in one declarative pass per stage:
   3. exact dedup         (dedup.exact_dedup — min-id survivor per hash)
   4. near-dup clusters   (dedup.minhash_lsh_pairs →
                           connected_components → keep-canonical)
+  4b. substring dedup    (dedup.strip_duplicated_spans — duplicated
+                          >= L-token runs cut, one canonical copy
+                          kept corpus-wide; off by default)
   5. decontamination     (decontam.decontaminate vs a held-out eval
                           set, GPT-3-style n-gram overlap)
   6. sequence packing    (textstats.materialize_sequences slice rows)
@@ -52,6 +55,7 @@ def prepare_training_data(
     exact: bool = True,
     minhash_threshold: float | None = 0.8,
     num_hashes: int = 8,
+    strip_spans_min_len: int | None = None,
     eval_df: DataFrame | None = None,
     decontam_ngram: int = 13,
     pack_budget: int | None = 2048,
@@ -69,6 +73,7 @@ def prepare_training_data(
         drop_near_duplicates,
         exact_dedup,
         minhash_lsh_pairs,
+        strip_duplicated_spans,
     )
     from search_engine_spark.operators.textstats import (
         langid,
@@ -143,6 +148,18 @@ def prepare_training_data(
             )
         )
         report.record("near_dup", n, n2, secs=dt)
+        n = n2
+
+    if strip_spans_min_len is not None:
+        # doc count is unchanged (spans are cut, docs survive) — the
+        # report row records the stage's wall cost; "dropped" stays 0
+        cur, n2, dt = _materialize(
+            strip_duplicated_spans(
+                cur, text_col=text_col, id_col=id_col,
+                min_len=strip_spans_min_len,
+            )
+        )
+        report.record("strip_spans", n, n2, secs=dt)
         n = n2
 
     if eval_df is not None:

@@ -95,3 +95,34 @@ def test_pipeline_stages_skippable(spark, corpus):
     assert slices is None
     assert report.counts == {"input": 156}
     assert clean.count() == 156
+
+
+def test_strip_spans_stage(spark):
+    """The optional substring-dedup stage cuts a planted duplicated run
+    from the non-canonical doc, keeps doc counts unchanged, and records
+    its wall cost in the report."""
+    run = " ".join(f"tok{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "the alpha " + run + " omega end"),
+            (2, "the beta " + run + " closing words here"),
+            (3, "the plain document with no repeats anywhere at all"),
+        ],
+        "doc_id long, content string",
+    )
+    clean, slices, report = prepare_training_data(
+        docs,
+        lang=None,
+        min_quality=None,
+        exact=False,
+        minhash_threshold=None,
+        strip_spans_min_len=8,
+        eval_df=None,
+        pack_budget=None,
+    )
+    out = {r["doc_id"]: r["content"] for r in clean.collect()}
+    assert len(out) == 3 and report.dropped["strip_spans"] == 0
+    assert "tok5" in out[1]          # canonical copy survives
+    assert "tok5" not in out[2]      # duplicate run cut
+    assert out[3].endswith("at all")  # untouched doc
+    assert report.secs["strip_spans"] > 0
