@@ -6,6 +6,7 @@ clusters → decontamination → packed-sequence slices.
     spark-submit --py-files "$ZIP" jobs/prepare_training_data_job.py \\
         --input /path/to/docs_parquet --output /path/to/out \\
         [--text-col content] [--doc-id-col doc_id] \\
+        [--c4-min-lines N] [--gopher] \\
         [--lang en | --no-langid] [--min-quality 0.3 | --no-quality] \\
         [--no-exact-dedup] [--minhash-threshold 0.8 | --no-near-dup] \\
         [--strip-spans-min-len L] \\
@@ -31,6 +32,15 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--text-col", default="content")
     ap.add_argument("--doc-id-col", default="doc_id")
+    ap.add_argument(
+        "--c4-min-lines", type=int, default=None,
+        help="C4 line cleaning: keep terminal-punct lines, drop pages "
+        "with fewer than N survivors / lorem-ipsum / '{'",
+    )
+    ap.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher document-level quality rules",
+    )
     ap.add_argument("--lang", default="en")
     ap.add_argument("--no-langid", action="store_true")
     ap.add_argument("--min-quality", type=float, default=0.3)
@@ -65,8 +75,10 @@ def main() -> None:
         docs,
         text_col=args.text_col,
         id_col=args.doc_id_col,
+        c4_min_lines=args.c4_min_lines,
         lang=None if args.no_langid else args.lang,
         min_quality=None if args.no_quality else args.min_quality,
+        gopher=args.gopher,
         exact=not args.no_exact_dedup,
         minhash_threshold=(
             None if args.no_near_dup else args.minhash_threshold

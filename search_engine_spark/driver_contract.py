@@ -1946,6 +1946,246 @@ GROUP BY tr.doc_id
 """
 
 
+# --- corpus-hygiene quality filters (Gopher / C4 heuristics) ---------------
+# The synthetic documents have no newlines, so the gate derives a
+# lineified text column with ONE literal replace, identically on both
+# sides; the operators' line/sentence semantics then exercise real
+# multi-line structure. tests/test_quality.py pins the rule semantics
+# on handcrafted documents.
+
+_REP_LINEIFY = (" value ", "\n")     # frequent token -> line breaks
+_C4_LINEIFY = (" table", ".\n")      # frequent token -> sentence ends
+
+
+def _lineified_docs(spark, sf_dir, pair) -> DataFrame:
+    sub, rep = pair
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(sub), F.lit(rep)).alias("text")
+    )
+
+
+_SQL_R6 = "floor(({x}) * 1e6 + 0.5) / 1e6"
+
+
+def q_repetition(spark, sf_dir):
+    from search_engine_spark.operators.quality import repetition_stats
+
+    return repetition_stats(
+        _lineified_docs(spark, sf_dir, _REP_LINEIFY)
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_tokens",
+        _r6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r6(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        _r6(F.col("top_2gram_frac")).alias("top_2gram_frac"),
+        _r6(F.col("dup_3gram_frac")).alias("dup_3gram_frac"),
+    )
+
+
+SQL_REPETITION = f"""
+WITH d AS (SELECT doc_id, replace(text, '{_REP_LINEIFY[0]}', chr(10)) AS text
+           FROM documents),
+tok AS (
+  SELECT doc_id, l[i] AS term, i AS pos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        FROM d),
+       UNNEST(generate_series(1, len(l))) AS u(i)
+),
+g2 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM tok
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 WHERE g IS NOT NULL
+        GROUP BY doc_id, g),
+g2s AS (SELECT doc_id, max(c)::DOUBLE AS mx, sum(c)::DOUBLE AS tot
+        FROM g2c GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS g
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 WHERE g IS NOT NULL
+        GROUP BY doc_id, g),
+g3s AS (SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE AS dup_occ,
+               sum(c)::DOUBLE AS tot
+        FROM g3c GROUP BY doc_id),
+lin AS (
+  SELECT doc_id, trim(l[i]) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+       UNNEST(generate_series(1, len(l))) AS u(i)
+  WHERE trim(l[i]) <> ''
+),
+ls AS (SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT line)::DOUBLE AS nd,
+              sum(len(line))::DOUBLE AS chars
+       FROM lin GROUP BY doc_id),
+ld AS (SELECT doc_id, sum(len(line))::DOUBLE AS dchars
+       FROM (SELECT DISTINCT doc_id, line FROM lin) GROUP BY doc_id),
+tokn AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(ls.n, 0)::BIGINT AS n_lines,
+  coalesce(tokn.n_tokens, 0) AS n_tokens,
+  {_SQL_R6.format(x="CASE WHEN ls.n > 0 THEN (ls.n - ls.nd) / ls.n ELSE 0.0 END")} AS dup_line_frac,
+  {_SQL_R6.format(x="CASE WHEN ls.chars > 0 THEN (ls.chars - ld.dchars) / ls.chars ELSE 0.0 END")} AS dup_line_char_frac,
+  {_SQL_R6.format(x="CASE WHEN g2s.tot > 0 THEN g2s.mx / g2s.tot ELSE 0.0 END")} AS top_2gram_frac,
+  {_SQL_R6.format(x="CASE WHEN g3s.tot > 0 THEN g3s.dup_occ / g3s.tot ELSE 0.0 END")} AS dup_3gram_frac
+FROM d
+LEFT JOIN ls USING (doc_id) LEFT JOIN ld USING (doc_id)
+LEFT JOIN g2s USING (doc_id) LEFT JOIN g3s USING (doc_id)
+LEFT JOIN tokn USING (doc_id)
+"""
+
+
+def q_gopher_filter(spark, sf_dir):
+    from search_engine_spark.operators.quality import gopher_filter
+
+    return gopher_filter(_lineified_docs(spark, sf_dir, _REP_LINEIFY)).select(
+        "doc_id",
+        "n_words",
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("symbol_ratio")).alias("symbol_ratio"),
+        _r6(F.col("bullet_frac")).alias("bullet_frac"),
+        _r6(F.col("ellipsis_frac")).alias("ellipsis_frac"),
+        _r6(F.col("alpha_word_frac")).alias("alpha_word_frac"),
+        "stop_hits",
+        "keep",
+    )
+
+
+SQL_GOPHER_FILTER = f"""
+WITH d AS (SELECT doc_id, replace(text, '{_REP_LINEIFY[0]}', chr(10)) AS text
+           FROM documents),
+w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(words, t -> len(t))), 0)::DOUBLE AS wchars,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+                                OR starts_with(l, '•')))::BIGINT AS n_bullet,
+    len(list_filter(lines, l -> ends_with(l, '...')
+                                OR ends_with(l, '…')))::BIGINT AS n_ell,
+    len(list_filter(words, t -> regexp_matches(t, '[a-zA-Z]')))::BIGINT AS n_alpha,
+    ((len(text) - len(replace(text, '#', '')))
+      + (len(text) - len(replace(text, '...', ''))) / 3
+      + (len(text) - len(replace(text, '…', ''))))::BIGINT AS n_sym,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    sw -> list_contains(words, sw)))::BIGINT AS stop_hits
+  FROM w
+),
+m AS (
+  SELECT doc_id, n_words, n_bullet, n_ell, n_alpha, n_sym, n_lines, stop_hits,
+    CASE WHEN n_words > 0 THEN wchars / n_words ELSE 0.0 END AS mean_len,
+    CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words ELSE 0.0 END AS sym_r,
+    CASE WHEN n_lines > 0 THEN n_bullet::DOUBLE / n_lines ELSE 0.0 END AS bul_f,
+    CASE WHEN n_lines > 0 THEN n_ell::DOUBLE / n_lines ELSE 0.0 END AS ell_f,
+    CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words ELSE 0.0 END AS alp_f
+  FROM s
+)
+SELECT doc_id, n_words,
+  {_SQL_R6.format(x="mean_len")} AS mean_word_len,
+  {_SQL_R6.format(x="sym_r")} AS symbol_ratio,
+  {_SQL_R6.format(x="bul_f")} AS bullet_frac,
+  {_SQL_R6.format(x="ell_f")} AS ellipsis_frac,
+  {_SQL_R6.format(x="alp_f")} AS alpha_word_frac,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_len >= 3.0 AND mean_len <= 10.0
+   AND sym_r <= 0.1 AND bul_f < 0.9 AND ell_f < 0.3
+   AND alp_f >= 0.8 AND stop_hits >= 2) AS keep
+FROM m
+"""
+
+
+def q_c4_clean(spark, sf_dir):
+    from search_engine_spark.operators.quality import c4_clean
+
+    return c4_clean(_lineified_docs(spark, sf_dir, _C4_LINEIFY))
+
+
+SQL_C4_CLEAN = f"""
+WITH d AS (SELECT doc_id, replace(text, '{_C4_LINEIFY[0]}', '.' || chr(10)) AS text
+           FROM documents),
+lin AS (
+  SELECT doc_id, trim(l[i]) AS line, i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+       UNNEST(generate_series(1, len(l))) AS u(i)
+  WHERE trim(l[i]) <> ''
+),
+kept AS (
+  SELECT doc_id, line, i FROM lin
+  WHERE (ends_with(line, '.') OR ends_with(line, '!')
+         OR ends_with(line, '?') OR ends_with(line, '"'))
+    AND NOT contains(lower(line), 'javascript')
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(agg.text_clean, '') AS text_clean,
+  coalesce(agg.n_kept, 0) AS n_lines_kept,
+  (coalesce(agg.n_kept, 0) >= 3
+   AND NOT contains(lower(d.text), 'lorem ipsum')
+   AND NOT contains(d.text, '{{')) AS keep
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+FUZZY_Q = "bata"  # 1 edit from corpus term "data", 2 from "batch"
+
+
+def q_suggest_fuzzy(spark, sf_dir):
+    from search_engine_spark.operators.suggestions import fuzzy_suggest
+
+    return fuzzy_suggest(get_index(spark, sf_dir), FUZZY_Q, k=10, max_dist=2)
+
+
+SQL_SUGGEST_FUZZY = TOK_CTE + f"""
+SELECT term, df, levenshtein(term, '{FUZZY_Q}')::INTEGER AS dist
+FROM ts
+WHERE abs(len(term) - {len(FUZZY_Q)}) <= 2
+  AND levenshtein(term, '{FUZZY_Q}') <= 2
+ORDER BY dist, df DESC, term
+LIMIT 10
+"""
+
+
+def q_unigram_lm(spark, sf_dir):
+    from search_engine_spark.operators.textstats import unigram_lm_score
+
+    idx = get_index(spark, sf_dir)
+    flat = idx.postings.select(
+        "term", F.explode("postings").alias("p")
+    ).select("p.doc_id", "term", "p.tf")
+    return unigram_lm_score(flat, idx.doc_stats).select(
+        "doc_id", "n_tokens", _r6(F.col("avg_logp")).alias("avg_logp")
+    )
+
+
+SQL_UNIGRAM_LM = TOK_CTE + f""",
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(doc_len)::DOUBLE AS total_tokens FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * log10(cf.cf / (SELECT total_tokens FROM tot))) AS s
+  FROM tf JOIN cf USING (term) GROUP BY tf.doc_id
+)
+SELECT dl.doc_id, dl.doc_len AS n_tokens,
+  {_SQL_R6.format(x="CASE WHEN dl.doc_len > 0 THEN coalesce(sc.s, 0.0) / dl.doc_len ELSE 0.0 END")} AS avg_logp
+FROM dl LEFT JOIN sc USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2012,6 +2252,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pq_ann / lsh_ann / ivf_ann / media_features / embed_dup_lsh /
     # pagerank_top are rows-only (no oracle SQL) by design.
     "dup_spans": q_dup_spans,
+    "repetition": q_repetition,
+    "gopher_filter": q_gopher_filter,
+    "c4_clean": q_c4_clean,
+    "suggest_fuzzy": q_suggest_fuzzy,
+    "unigram_lm": q_unigram_lm,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2058,6 +2303,11 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "dup_spans": SQL_DUP_SPANS,
+    "repetition": SQL_REPETITION,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "c4_clean": SQL_C4_CLEAN,
+    "suggest_fuzzy": SQL_SUGGEST_FUZZY,
+    "unigram_lm": SQL_UNIGRAM_LM,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

@@ -2,8 +2,14 @@
 LM-pretraining pipeline runs over a raw corpus, composed from this
 repo's operators in one declarative pass per stage:
 
+  0. C4 line cleaning    (quality.c4_apply — terminal-punct lines
+                          kept, javascript/lorem-ipsum/brace pages
+                          dropped; off by default)
   1. language filter     (textstats.langid — marker-word voting)
   2. quality filter      (textstats.quality_score >= min_quality)
+  2b. Gopher rules       (quality.gopher_keep — word-count / word-len
+                          / symbol / bullet / ellipsis / alpha /
+                          stop-word gates; off by default)
   3. exact dedup         (dedup.exact_dedup — min-id survivor per hash)
   4. near-dup clusters   (dedup.minhash_lsh_pairs →
                           connected_components → keep-canonical)
@@ -50,8 +56,10 @@ def prepare_training_data(
     docs: DataFrame,
     text_col: str = "content",
     id_col: str = "doc_id",
+    c4_min_lines: int | None = None,
     lang: str | None = "en",
     min_quality: float | None = 0.3,
+    gopher: bool = False,
     exact: bool = True,
     minhash_threshold: float | None = 0.8,
     num_hashes: int = 8,
@@ -108,6 +116,15 @@ def prepare_training_data(
         dt, _t0[0] = time.perf_counter() - _t0[0], time.perf_counter()
         return df, cnt, dt
 
+    if c4_min_lines is not None:
+        from search_engine_spark.operators.quality import c4_apply
+
+        cur, n2, dt = _materialize(
+            c4_apply(cur, text_col=text_col, min_kept_lines=c4_min_lines)
+        )
+        report.record("c4_clean", n, n2, secs=dt)
+        n = n2
+
     if lang is not None:
         keep = langid(cur, text_col=text_col, id_col=id_col).where(
             F.col("pred_lang") == lang
@@ -124,6 +141,13 @@ def prepare_training_data(
         )
         cur, n2, dt = _materialize(cur.join(keep, id_col, "left_semi"))
         report.record("quality", n, n2, secs=dt)
+        n = n2
+
+    if gopher:
+        from search_engine_spark.operators.quality import gopher_keep
+
+        cur, n2, dt = _materialize(gopher_keep(cur, text_col=text_col))
+        report.record("gopher", n, n2, secs=dt)
         n = n2
 
     if exact:

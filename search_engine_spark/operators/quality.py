@@ -1,0 +1,365 @@
+"""Corpus-hygiene quality filters for LM training data: Gopher-style
+repetition signals, the Gopher document-level rule set, and C4-style
+line cleaning.
+
+Public heuristics re-expressed as Spark column algebra:
+
+- repetition_stats: the "repetitious text" signals of Rae et al. 2021
+  (Gopher, appendix A1.1) — duplicate-line fraction, duplicate-line
+  character fraction, top word-2-gram occurrence fraction, and the
+  fraction of word-3-gram occurrences belonging to repeated 3-grams.
+- gopher_filter: Gopher's document-level quality rules (word count,
+  mean word length, symbol-to-word ratio, bullet/ellipsis line
+  fractions, alphabetic-word fraction, stop-word containment).
+- c4_clean: C4's line filters (Raffel et al. 2020 §2.2) — keep lines
+  ending in terminal punctuation, drop "javascript" lines, drop pages
+  containing "lorem ipsum" / "{" or with too few surviving lines.
+
+Scale shape: every statistic here is PER-DOCUMENT and computed with
+higher-order array functions over the document's own token/line
+arrays — a narrow map over the corpus scan with NO shuffle and no
+Python (whole-stage codegen end to end). The duplicate-run counting
+uses the sorted-array-neighbor trick instead of an explode+groupBy,
+so a 100 TB corpus pays exactly one pass and zero exchanges for the
+full signal set. Reference scope: the reference engine stops at
+content-hash dedup (Search-Engine's Indexer pipeline); these filters
+are the training-data extensions the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's "must contain 2 of" stop set (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+BULLET_PREFIXES: tuple[str, ...] = ("-", "*", "•")
+TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def _ws_tokens(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def _lines(text_col: Column) -> Column:
+    """Trimmed, non-empty lines of the document."""
+    return F.filter(
+        F.transform(F.split(text_col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the max occurrence count of any element — one aggregate
+    pass, no explode/groupBy shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty if < n tokens)."""
+    gram = F.slice(toks, 1, F.size(toks) - (n - 1))
+    for i in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + i, F.size(toks) - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals, one row per document:
+
+    (doc_id, n_lines, n_tokens, dup_line_frac, dup_line_char_frac,
+     top_2gram_frac, dup_3gram_frac)
+
+    - dup_line_frac:      fraction of non-empty lines that are repeats
+                          of an earlier identical line
+    - dup_line_char_frac: fraction of line characters inside those
+                          repeated occurrences
+    - top_2gram_frac:     occurrences of the most frequent word 2-gram
+                          over all 2-gram occurrences
+    - dup_3gram_frac:     fraction of word-3-gram occurrences whose
+                          gram appears more than once
+
+    All four are pure per-row array algebra (sorted-neighbor dup
+    counting), so the plan is a narrow projection over the scan.
+    Typical Gopher thresholds: drop if dup_line_frac > 0.30,
+    dup_line_char_frac > 0.20, top_2gram_frac > 0.20,
+    dup_3gram_frac (char-weighted in the paper) > ~0.18.
+    """
+    lines = _lines(F.col(text_col))
+    toks = _ws_tokens(F.col(text_col))
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            lines.alias("_lines"),
+            toks.alias("_toks"),
+        )
+        .withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn("_dlines", F.array_distinct("_lines"))
+        .withColumn(
+            "dup_line_frac",
+            _frac(F.col("n_lines") - F.size("_dlines"), F.col("n_lines")),
+        )
+        .withColumn("_chars", _char_sum(F.col("_lines")))
+        .withColumn(
+            "dup_line_char_frac",
+            _frac(
+                F.col("_chars") - _char_sum(F.col("_dlines")), F.col("_chars")
+            ),
+        )
+        .withColumn("_g2", F.array_sort(_word_ngrams(F.col("_toks"), 2)))
+        .withColumn(
+            "top_2gram_frac",
+            _frac(_max_run(F.col("_g2")), F.size("_g2")),
+        )
+        .withColumn("_g3", F.array_sort(_word_ngrams(F.col("_toks"), 3)))
+        .withColumn(
+            "dup_3gram_frac",
+            # an occurrence belongs to a duplicated gram iff it has an
+            # equal neighbor in the sorted gram array
+            _frac(
+                F.size(
+                    F.filter(
+                        F.col("_g3"),
+                        lambda x, i: F.coalesce(
+                            x == F.get(F.col("_g3"), i - 1), F.lit(False)
+                        )
+                        | F.coalesce(
+                            x == F.get(F.col("_g3"), i + 1), F.lit(False)
+                        ),
+                    )
+                ),
+                F.size("_g3"),
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_tokens",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
+def _count_substr(text: Column, sub: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("long")
+
+
+def _gopher_cols(
+    text: Column,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_word_frac: float,
+    min_stop_hits: int,
+) -> dict[str, Column]:
+    """Named signal columns + the conjunction ``keep`` — shared by the
+    reporting operator and the pipeline's inline filter stage."""
+    words = _ws_tokens(text)
+    lines = _lines(text)
+    n = F.size(words).cast("long")
+    mean_len = _frac(_char_sum(words), n)
+    n_sym = (
+        _count_substr(text, "#")
+        + _count_substr(text, "...")
+        + _count_substr(text, "…")
+    )
+    symbol_ratio = _frac(n_sym, n)
+    bullet_frac = _frac(
+        F.size(
+            F.filter(
+                lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES)
+            )
+        ),
+        F.size(lines),
+    )
+    ellipsis_frac = _frac(
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ),
+        F.size(lines),
+    )
+    alpha_frac = _frac(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))), n
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("long")
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac < max_bullet_frac)
+        & (ellipsis_frac < max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, A1.1):
+
+    (doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+     ellipsis_frac, alpha_word_frac, stop_hits, keep)
+
+    keep == every rule passes: word count in [min_words, max_words],
+    mean word length in [3, 10], symbol('#'/'...'/'…')-to-word ratio
+    <= 0.1, < 90% bullet-started lines, < 30% ellipsis-ended lines,
+    >= 80% of words containing an alphabetic character, and at least
+    two distinct stop words present. Narrow scan, no shuffle.
+    """
+    cols = _gopher_cols(
+        F.col(text_col),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_word_frac, min_stop_hits,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+def gopher_keep(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """``df`` filtered to rows passing every Gopher rule, all columns
+    intact — the pipeline's inline form of ``gopher_filter`` (a WHERE
+    over the same expressions; no join, no shuffle)."""
+    defaults = dict(
+        min_words=50, max_words=100_000,
+        min_mean_word_len=3.0, max_mean_word_len=10.0,
+        max_symbol_ratio=0.1, max_bullet_frac=0.9,
+        max_ellipsis_frac=0.3, min_alpha_word_frac=0.8, min_stop_hits=2,
+    )
+    defaults.update(thresholds)
+    return df.where(_gopher_cols(F.col(text_col), **defaults)["keep"])
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2):
+
+    (doc_id, text_clean, n_lines_kept, keep)
+
+    A line survives iff it ends in terminal punctuation (. ! ? ") and
+    does not mention "javascript" (case-insensitive); the document
+    survives iff >= min_kept_lines lines remain and the ORIGINAL text
+    contains neither "lorem ipsum" (case-insensitive) nor "{".
+    text_clean is the surviving lines re-joined with newlines, in
+    their original order. Narrow scan, no shuffle.
+    """
+    kept, n_kept, keep = _c4_cols(F.col(text_col), min_kept_lines)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        n_kept.alias("n_lines_kept"),
+        keep.alias("keep"),
+    )
+
+
+def _c4_cols(text: Column, min_kept_lines: int):
+    kept = F.filter(
+        _lines(text),
+        lambda l: F.substring(l, -1, 1).isin(*TERMINAL_PUNCT)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(kept).cast("long")
+    keep = (
+        (n_kept >= min_kept_lines)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return kept, n_kept, keep
+
+
+def c4_apply(
+    df: DataFrame, text_col: str = "text", min_kept_lines: int = 3
+) -> DataFrame:
+    """``df`` with C4 cleaning APPLIED: surviving documents only, their
+    ``text_col`` replaced by the newline-joined surviving lines, every
+    other column untouched — the pipeline's inline form of
+    ``c4_clean`` (a WHERE + projection over the same expressions; no
+    join, no shuffle)."""
+    kept, _, keep = _c4_cols(F.col(text_col), min_kept_lines)
+    return df.where(keep).withColumn(text_col, F.array_join(kept, "\n"))

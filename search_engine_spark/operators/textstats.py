@@ -315,3 +315,55 @@ def materialize_sequences(
         )
         .where(F.col("token_end") > F.col("token_start"))
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-unigram language-model scoring — fluency signal for data curation
+# --------------------------------------------------------------------------
+
+
+def unigram_lm_score(
+    postings_flat: DataFrame, doc_stats: DataFrame
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logp): per-document mean log10 unigram
+    probability under the corpus's OWN unigram LM — the CCNet-style
+    fluency signal (documents far below the corpus mode are boilerplate
+    or noise; far above are repetitive), computed without any external
+    model: P(t) = cf(t) / total_tokens over the same index the engine
+    already builds.
+
+    Inputs: ``postings_flat`` = (doc_id, term, tf) exploded postings,
+    ``doc_stats`` = (doc_id, doc_len). Documents with doc_len == 0
+    score 0.0.
+
+    Scale shape: one groupBy(term) over the (already doc-grouped)
+    postings to get corpus frequencies, one join back on term (the
+    vocabulary side is Zipf-small — AQE broadcasts it), one
+    groupBy(doc_id) partial-aggregated sum. The corpus text is never
+    re-tokenized and never shuffled; only (term, tf) pairs move.
+    """
+    cf = postings_flat.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = doc_stats.agg(
+        F.sum("doc_len").cast("double").alias("total_tokens")
+    )
+    scored = (
+        postings_flat.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log10(F.col("cf") / F.col("total_tokens"))
+            ).alias("logp_sum")
+        )
+    )
+    return doc_stats.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.col("doc_len").alias("n_tokens"),
+        F.when(
+            F.col("doc_len") > 0,
+            F.coalesce(F.col("logp_sum"), F.lit(0.0)) / F.col("doc_len"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logp"),
+    )

@@ -126,3 +126,42 @@ def test_strip_spans_stage(spark):
     assert "tok5" not in out[2]      # duplicate run cut
     assert out[3].endswith("at all")  # untouched doc
     assert report.secs["strip_spans"] > 0
+
+
+def test_c4_and_gopher_stages(spark):
+    docs = spark.createDataFrame(
+        [
+            # passes C4 (3 terminal-punct lines) AND Gopher (long,
+            # alphabetic, stop words, sane word lengths)
+            (
+                1,
+                "\n".join(
+                    "the quick brown fox jumps over that lazy dog and of it."
+                    for _ in range(8)
+                ),
+            ),
+            # C4 drops it: no terminal punctuation anywhere
+            (2, "line one\nline two\nline three"),
+            # survives C4 but Gopher drops it: too few words after
+            # cleaning (3 short lines < 50 words)
+            (3, "Short one.\nShort two.\nShort three."),
+        ],
+        ["doc_id", "content"],
+    )
+    clean, _, report = prepare_training_data(
+        docs,
+        c4_min_lines=3,
+        lang=None,
+        min_quality=None,
+        gopher=True,
+        exact=False,
+        minhash_threshold=None,
+        pack_budget=None,
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    clean.unpersist()
+    assert kept == {1}
+    assert report.counts["c4_clean"] == 2   # doc 2 fell here
+    assert report.counts["gopher"] == 1     # doc 3 fell here
+    assert report.dropped["c4_clean"] == 1
+    assert report.dropped["gopher"] == 1
