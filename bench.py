@@ -320,6 +320,34 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         pack_sequences(docs, budget=2048, text_col="text").count()
         timings["pack_sequences"] = round(time.perf_counter() - t0, 4)
 
+        # corpus-hygiene quality filters (round 4): per-doc repetition
+        # signals and the Gopher rule set — narrow zero-shuffle scans;
+        # noop sink so column pruning can't skip the array algebra
+        from search_engine_spark.operators.quality import (
+            gopher_filter,
+            repetition_stats,
+        )
+
+        t0 = time.perf_counter()
+        repetition_stats(docs, text_col="text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["repetition_stats"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        gopher_filter(docs, text_col="text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["gopher_filter"] = round(time.perf_counter() - t0, 4)
+
+        from search_engine_spark.operators.quality import scrub_pii
+
+        t0 = time.perf_counter()
+        scrub_pii(docs, text_col="text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["pii_scrub"] = round(time.perf_counter() - t0, 4)
+
         # full hygiene pipeline (round 4): langid -> quality -> exact
         # dedup -> near-dup components -> decontam -> slice rows, one
         # composed run over the documents table

@@ -6,10 +6,11 @@ clusters → decontamination → packed-sequence slices.
     spark-submit --py-files "$ZIP" jobs/prepare_training_data_job.py \\
         --input /path/to/docs_parquet --output /path/to/out \\
         [--text-col content] [--doc-id-col doc_id] \\
-        [--c4-min-lines N] [--gopher] \\
+        [--c4-min-lines N] [--gopher] [--pii] \\
         [--lang en | --no-langid] [--min-quality 0.3 | --no-quality] \\
         [--no-exact-dedup] [--minhash-threshold 0.8 | --no-near-dup] \\
         [--strip-spans-min-len L] \\
+        [--source-cap N [--source-col source] [--source-cap-approx]] \\
         [--eval /path/to/eval_parquet] [--ngram 13] \\
         [--pack-budget 2048 | --no-pack]
 
@@ -54,6 +55,21 @@ def main() -> None:
         help="also cut duplicated >=L-token runs (substring-level "
         "exact dedup, one canonical copy kept corpus-wide)",
     )
+    ap.add_argument(
+        "--pii", action="store_true",
+        help="scrub emails/IPv4/phone runs to typed tokens before dedup",
+    )
+    ap.add_argument(
+        "--source-cap", type=int, default=None,
+        help="keep at most N docs per --source-col value (hot-domain "
+        "frequency cap, deterministic md5-bucket rank)",
+    )
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument(
+        "--source-cap-approx", action="store_true",
+        help="windowless count-join cap (survivors = N in expectation) "
+        "for groups too hot for a per-group window task",
+    )
     ap.add_argument("--eval")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--pack-budget", type=int, default=2048)
@@ -79,12 +95,16 @@ def main() -> None:
         lang=None if args.no_langid else args.lang,
         min_quality=None if args.no_quality else args.min_quality,
         gopher=args.gopher,
+        pii=args.pii,
         exact=not args.no_exact_dedup,
         minhash_threshold=(
             None if args.no_near_dup else args.minhash_threshold
         ),
         num_hashes=args.num_hashes,
         strip_spans_min_len=args.strip_spans_min_len,
+        source_cap=args.source_cap,
+        source_col=args.source_col,
+        source_cap_exact=not args.source_cap_approx,
         eval_df=eval_df,
         decontam_ngram=args.ngram,
         pack_budget=None if args.no_pack else args.pack_budget,

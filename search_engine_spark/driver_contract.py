@@ -2172,6 +2172,112 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+# deterministic PII decoration (both engines build the identical text,
+# so the regex machinery — not the corpus — is what the gate compares)
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" reach user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.org ip 10.1."),
+    (F.col("doc_id") % 200).cast("string"),
+    F.lit(".9 call +12 3456 7890"),
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub + per-kind counts over the decorated corpus: emails /
+    IPv4 / phone runs replaced by typed tokens, counts from the
+    pre-scrub text. Pure JVM regexp machinery vs DuckDB's RE2."""
+    from search_engine_spark.operators.quality import pii_stats, scrub_pii
+
+    dec = _docs(spark, sf_dir).withColumn("text", _PII_SUFFIX_SPARK())
+    clean = scrub_pii(dec).select(
+        "doc_id", F.col("text").alias("text_clean")
+    )
+    return clean.join(pii_stats(dec), "doc_id").select(
+        "doc_id", "text_clean", "n_email", "n_ipv4", "n_phone", "n_pii"
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from search_engine_spark.operators.quality import PII_PATTERNS
+
+    (email, _), (ipv4, _), (phone, _) = (
+        PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"],
+    )
+    scrub = "t"
+    for pat, repl in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id || '@example.org ip 10.1.'
+              || (doc_id % 200) || '.9 call +12 3456 7890' AS t
+  FROM documents
+)
+SELECT doc_id,
+       {scrub} AS text_clean,
+       len(regexp_extract_all(t, '{email}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{ipv4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{phone}'))::BIGINT AS n_phone,
+       (len(regexp_extract_all(t, '{email}'))
+        + len(regexp_extract_all(t, '{ipv4}'))
+        + len(regexp_extract_all(t, '{phone}')))::BIGINT AS n_pii
+FROM d
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+GROUP_CAP = 10  # sf sources carry 25 docs each -> real capping
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Per-source frequency capping, exact mode: at most GROUP_CAP
+    survivors per source, chosen by (md5-bucket, doc_id) rank — the
+    standard hot-domain cap in a web-corpus training mix."""
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), GROUP_CAP, group_col="source"
+    ).select("doc_id", "source")
+
+
+SQL_CAP_PER_GROUP = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= {GROUP_CAP}
+"""
+
+
+def q_cap_per_group_approx(spark, sf_dir):
+    """Approximate (no-window) mode of the same cap: join to the group
+    count and keep rows whose bucket clears cap/count of the bucket
+    space — the hot-key shape, still fully deterministic."""
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), GROUP_CAP, group_col="source", exact=False
+    ).select("doc_id", "source")
+
+
+SQL_CAP_PER_GROUP_APPROX = f"""
+WITH c AS (SELECT source, count(*) AS gn FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c ON d.source = c.source
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+      < least(10000.0, {GROUP_CAP} * 10000.0 / gn)
+"""
+
+
 SQL_UNIGRAM_LM = TOK_CTE + f""",
 cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
 tot AS (SELECT sum(doc_len)::DOUBLE AS total_tokens FROM dl),
@@ -2257,6 +2363,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "suggest_fuzzy": q_suggest_fuzzy,
     "unigram_lm": q_unigram_lm,
+    "cap_per_group": q_cap_per_group,
+    "cap_per_group_approx": q_cap_per_group_approx,
+    "pii_scrub": q_pii_scrub,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2308,6 +2417,9 @@ ORACLE_SQL: dict[str, str] = {
     "c4_clean": SQL_C4_CLEAN,
     "suggest_fuzzy": SQL_SUGGEST_FUZZY,
     "unigram_lm": SQL_UNIGRAM_LM,
+    "cap_per_group": SQL_CAP_PER_GROUP,
+    "cap_per_group_approx": SQL_CAP_PER_GROUP_APPROX,
+    "pii_scrub": SQL_PII_SCRUB,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

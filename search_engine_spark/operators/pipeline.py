@@ -10,12 +10,17 @@ repo's operators in one declarative pass per stage:
   2b. Gopher rules       (quality.gopher_keep — word-count / word-len
                           / symbol / bullet / ellipsis / alpha /
                           stop-word gates; off by default)
+  2c. PII scrub          (quality.scrub_pii — emails/IPs/phone runs
+                          replaced by typed tokens; off by default)
   3. exact dedup         (dedup.exact_dedup — min-id survivor per hash)
   4. near-dup clusters   (dedup.minhash_lsh_pairs →
                           connected_components → keep-canonical)
   4b. substring dedup    (dedup.strip_duplicated_spans — duplicated
                           >= L-token runs cut, one canonical copy
                           kept corpus-wide; off by default)
+  4c. source capping     (textstats.cap_per_group — at most N docs
+                          per source/domain, deterministic md5-bucket
+                          rank; off by default)
   5. decontamination     (decontam.decontaminate vs a held-out eval
                           set, GPT-3-style n-gram overlap)
   6. sequence packing    (textstats.materialize_sequences slice rows)
@@ -60,10 +65,14 @@ def prepare_training_data(
     lang: str | None = "en",
     min_quality: float | None = 0.3,
     gopher: bool = False,
+    pii: bool = False,
     exact: bool = True,
     minhash_threshold: float | None = 0.8,
     num_hashes: int = 8,
     strip_spans_min_len: int | None = None,
+    source_cap: int | None = None,
+    source_col: str = "source",
+    source_cap_exact: bool = True,
     eval_df: DataFrame | None = None,
     decontam_ngram: int = 13,
     pack_budget: int | None = 2048,
@@ -150,6 +159,15 @@ def prepare_training_data(
         report.record("gopher", n, n2, secs=dt)
         n = n2
 
+    if pii:
+        from search_engine_spark.operators.quality import scrub_pii
+
+        # doc count is unchanged (text rewritten in place) — runs
+        # BEFORE dedup so duplicate detection sees the scrubbed text
+        cur, n2, dt = _materialize(scrub_pii(cur, text_col=text_col))
+        report.record("pii_scrub", n, n2, secs=dt)
+        n = n2
+
     if exact:
         keep = exact_dedup(cur, text_col=text_col, id_col=id_col).select(
             F.col("keep_id").alias(id_col)
@@ -184,6 +202,23 @@ def prepare_training_data(
             )
         )
         report.record("strip_spans", n, n2, secs=dt)
+        n = n2
+
+    if source_cap is not None:
+        from search_engine_spark.operators.textstats import cap_per_group
+
+        if source_col not in cur.columns:
+            raise ValueError(
+                f"source_cap set but column {source_col!r} is absent "
+                f"(have {cur.columns})"
+            )
+        cur, n2, dt = _materialize(
+            cap_per_group(
+                cur, source_cap, group_col=source_col, id_col=id_col,
+                exact=source_cap_exact,
+            )
+        )
+        report.record("source_cap", n, n2, secs=dt)
         n = n2
 
     if eval_df is not None:

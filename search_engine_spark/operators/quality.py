@@ -353,6 +353,82 @@ def _c4_cols(text: Column, min_kept_lines: int):
     return kept, n_kept, keep
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing — emails / IPv4 / phone numbers
+# --------------------------------------------------------------------------
+
+# name -> (pattern, replacement token). Patterns are deliberately
+# RE2-safe (no backrefs, no lookaround) so the DuckDB oracle runs the
+# IDENTICAL regex; both engines use leftmost non-overlapping matching
+# and greedy quantifiers, so counts and replacements agree exactly.
+# Scrub order is dict order: emails first (so an address's digits are
+# gone before the phone pass), then IPs, then phone runs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    ),
+    # an international-ish digit run: 9-16 chars of digits/space/()-
+    # bracketed by digits, optional leading '+'
+    "phone": (
+        r"\+?\d[\d() \-]{7,14}\d",
+        "<PHONE>",
+    ),
+}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII match counts:
+
+    (doc_id, n_email, n_ipv4, n_phone, n_pii)
+
+    Counts are non-overlapping regex matches over the ORIGINAL text
+    (the counts ``scrub_pii`` would remove). Pure JVM `regexp_count`
+    — narrow scan, no shuffle, no Python."""
+    counts = {
+        f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in counts.items()],
+    ).withColumn(
+        "n_pii",
+        sum(F.col(f"n_{name}") for name in PII_PATTERNS).cast("long"),
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """``df`` with ``text_col`` PII-scrubbed in place (every other
+    column untouched): each pattern's matches replaced by its typed
+    token (``<EMAIL>``/``<IP>``/``<PHONE>``), applied in PII_PATTERNS
+    order. ``kinds`` restricts to a subset (unknown kind -> ValueError).
+    Chained `regexp_replace` — narrow, whole-stage codegen, the
+    standard pre-training scrub pass."""
+    use = tuple(PII_PATTERNS) if kinds is None else tuple(kinds)
+    unknown = [k for k in use if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kinds {unknown!r}; have {list(PII_PATTERNS)}"
+        )
+    col = F.col(text_col)
+    for name in PII_PATTERNS:  # canonical order regardless of `kinds` order
+        if name in use:
+            pat, repl = PII_PATTERNS[name]
+            col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(text_col, col)
+
+
 def c4_apply(
     df: DataFrame, text_col: str = "text", min_kept_lines: int = 3
 ) -> DataFrame:

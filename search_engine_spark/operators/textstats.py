@@ -367,3 +367,54 @@ def unigram_lm_score(
         .otherwise(F.lit(0.0))
         .alias("avg_logp"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` documents per value of
+    ``group_col`` (domain / source / shard), chosen DETERMINISTICALLY —
+    the standard web-corpus step that stops a crawler-friendly host
+    from dominating the training mix.
+
+    exact=True — rank rows inside each group by (md5-bucket, id) and
+    keep rank <= cap: exactly ``cap`` survivors per group. The window
+    shuffles on ``group_col``, so one pathological hot domain lands in
+    one task; fine up to ~10^7 rows per group.
+
+    exact=False — the 100 TB shape for hot keys: join each row to its
+    group's total count (partial-aggregated, tiny) and keep rows whose
+    md5 bucket falls below cap/count of the bucket space. No window,
+    no per-group single task — survivor count is cap in expectation
+    (binomial spread ~sqrt(cap)), still deterministic row-by-row.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1 (got {cap})")
+    bucket = _hash_bucket(F.col(id_col))
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            bucket.asc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .where(
+            bucket
+            < F.least(
+                F.lit(float(SAMPLE_BUCKETS)),
+                F.lit(float(cap * SAMPLE_BUCKETS)) / F.col("_gn"),
+            )
+        )
+        .drop("_gn")
+    )

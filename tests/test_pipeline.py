@@ -97,6 +97,66 @@ def test_pipeline_stages_skippable(spark, corpus):
     assert clean.count() == 156
 
 
+def test_pii_stage_scrubs_before_dedup(spark):
+    """Two docs identical EXCEPT for their planted emails must collapse
+    in exact dedup once the scrub runs first."""
+    body = "english text the of and to in is was he for " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, body + " contact alice@example.com"),
+            (2, body + " contact bob@example.com"),
+            (3, "totally different english text the of and " * 6),
+        ],
+        ["doc_id", "content"],
+    )
+    clean, _, report = prepare_training_data(
+        docs,
+        lang=None, min_quality=None, minhash_threshold=None,
+        pack_budget=None, pii=True, exact=True,
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {1, 3}  # 2 deduped against scrubbed 1
+    assert report.dropped["pii_scrub"] == 0
+    assert report.dropped["exact_dedup"] == 1
+    texts = {r["doc_id"]: r["content"] for r in clean.collect()}
+    assert texts[1].endswith("contact <EMAIL>")
+
+
+def test_source_cap_stage(spark):
+    import hashlib
+
+    rows = [
+        (i, "english text the of and to in is was he for " * 5,
+         "hot" if i < 30 else f"cold{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string, source string")
+    clean, _, report = prepare_training_data(
+        docs,
+        lang=None, min_quality=None, exact=False,
+        minhash_threshold=None, pack_budget=None,
+        source_cap=5,
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # every 1-doc cold source survives; the hot source is capped at 5
+    assert all(i in kept for i in range(30, 40))
+    hot_kept = sorted(i for i in kept if i < 30)
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+    assert hot_kept == sorted(
+        sorted(range(30), key=lambda i: (bucket(i), i))[:5]
+    )
+    assert report.dropped["source_cap"] == 25
+    # requesting the stage without the column is an explicit error
+    with pytest.raises(ValueError, match="source_cap"):
+        prepare_training_data(
+            docs.drop("source"),
+            lang=None, min_quality=None, exact=False,
+            minhash_threshold=None, pack_budget=None,
+            source_cap=5,
+        )
+
+
 def test_strip_spans_stage(spark):
     """The optional substring-dedup stage cuts a planted duplicated run
     from the non-canonical doc, keeps doc counts unchanged, and records

@@ -178,6 +178,144 @@ def test_fuzzy_suggest(spark):
         assert rows[0]["term"] == "spark" and rows[0]["dist"] == 0
 
 
+def test_pii_stats_and_scrub(spark):
+    from search_engine_spark.operators.quality import pii_stats, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk or bob@x.io"),
+            (2, "server 10.0.255.7 and 192.168.1.1, port 8080"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean document with no pii at all"),
+            (5, "mixed: a@b.com from 127.0.0.1 dialing 555-123-9876"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    r = _by_id(pii_stats(docs))
+    assert (r[1]["n_email"], r[1]["n_ipv4"], r[1]["n_phone"]) == (2, 0, 0)
+    assert (r[2]["n_email"], r[2]["n_ipv4"], r[2]["n_phone"]) == (0, 2, 0)
+    assert (r[3]["n_email"], r[3]["n_ipv4"], r[3]["n_phone"]) == (0, 0, 1)
+    assert r[4]["n_pii"] == 0 and r[6]["n_pii"] == 0
+    assert (r[5]["n_email"], r[5]["n_ipv4"], r[5]["n_phone"]) == (1, 1, 1)
+
+    s = {
+        row["doc_id"]: row["text"]
+        for row in scrub_pii(docs).collect()
+    }
+    assert s[1] == "mail me at <EMAIL> or <EMAIL>"
+    assert s[2] == "server <IP> and <IP>, port 8080"
+    assert s[3] == "call <PHONE> today"
+    assert s[4] == "clean document with no pii at all"
+    assert s[5] == "mixed: <EMAIL> from <IP> dialing <PHONE>"
+
+    # python-re independent oracle over the same patterns
+    import re
+
+    from search_engine_spark.operators.quality import PII_PATTERNS
+
+    for row in docs.collect():
+        text = row["text"]
+        for name, (pat, repl) in PII_PATTERNS.items():
+            assert len(re.findall(pat, text)) == r[row["doc_id"]][f"n_{name}"]
+            text = re.sub(pat, repl, text)
+        assert text == s[row["doc_id"]]
+
+
+def test_scrub_pii_kinds_subset(spark):
+    from search_engine_spark.operators.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "a@b.com from 127.0.0.1", "keep")],
+        ["doc_id", "text", "other"],
+    )
+    out = scrub_pii(docs, kinds=("ipv4",)).collect()[0]
+    assert out["text"] == "a@b.com from <IP>"
+    assert out["other"] == "keep"  # non-text columns untouched
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        scrub_pii(docs, kinds=("ssn",))
+
+
+def test_pii_no_shuffle(spark):
+    from search_engine_spark.operators.quality import pii_stats
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = pii_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def _py_bucket(doc_id) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10_000
+
+
+@pytest.fixture(scope="module")
+def capdocs(spark):
+    # three groups of very different sizes: 40 / 5 / 1
+    rows = (
+        [(i, "a", f"t{i}") for i in range(40)]
+        + [(100 + i, "b", f"t{i}") for i in range(5)]
+        + [(999, "c", "t")]
+    )
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_cap_per_group_exact(capdocs):
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    out = cap_per_group(capdocs, 8, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # exactly min(cap, group size) survivors per group
+    assert sorted(len(v) for v in by_src.values()) == [1, 5, 8]
+    # survivors are the cap lowest (md5-bucket, id) ranks — recomputed
+    # with python's hashlib, independent of Spark's md5
+    expect_a = sorted(range(40), key=lambda i: (_py_bucket(i), i))[:8]
+    assert sorted(by_src["a"]) == sorted(expect_a)
+    assert sorted(by_src["b"]) == [100, 101, 102, 103, 104]
+    # non-key columns survive the cap
+    assert {len(r.asDict()) for r in out} == {3}
+
+
+def test_cap_per_group_approx(capdocs):
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    out = cap_per_group(capdocs, 8, group_col="source", exact=False)
+    rows = out.collect()
+    # groups at/under the cap keep EVERY row (threshold saturates)
+    kept = {r["doc_id"] for r in rows}
+    assert all(100 + i in kept for i in range(5)) and 999 in kept
+    # the big group keeps rows whose bucket < 8/40 of the bucket space
+    big = sorted(r["doc_id"] for r in rows if r["source"] == "a")
+    assert big == [i for i in range(40) if _py_bucket(i) < 2000]
+    # deterministic: a second evaluation returns the identical set
+    assert {r["doc_id"] for r in out.collect()} == kept
+
+
+def test_cap_per_group_validates(capdocs):
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    with pytest.raises(ValueError):
+        cap_per_group(capdocs, 0)
+
+
+def test_cap_per_group_approx_no_window(capdocs):
+    """The approximate mode must plan as a broadcast-count join — no
+    Window (no per-group single task) anywhere in the physical plan."""
+    from search_engine_spark.operators.textstats import cap_per_group
+
+    plan = (
+        cap_per_group(capdocs, 8, group_col="source", exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_unigram_lm_score(spark):
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.operators.index_build import build_index
