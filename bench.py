@@ -320,6 +320,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         pack_sequences(docs, budget=2048, text_col="text").count()
         timings["pack_sequences"] = round(time.perf_counter() - t0, 4)
 
+        from search_engine_spark.operators.textstats import emit_sequences
+
+        t0 = time.perf_counter()
+        emit_sequences(docs, budget=2048, text_col="text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["emit_sequences"] = round(time.perf_counter() - t0, 4)
+
         # corpus-hygiene quality filters (round 4): per-doc repetition
         # signals and the Gopher rule set — narrow zero-shuffle scans;
         # noop sink so column pruning can't skip the array algebra

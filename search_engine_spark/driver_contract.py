@@ -2172,6 +2172,58 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+def q_seq_tokens(spark, sf_dir):
+    """Packed training sequences MATERIALIZED (seq_id -> token array):
+    the trainer-facing end of the packing chain — slice rows joined
+    back to doc token arrays, reassembled per sequence in stream
+    order."""
+    from search_engine_spark.operators.textstats import emit_sequences
+
+    return emit_sequences(_docs(spark, sf_dir), budget=512)
+
+
+SQL_SEQ_TOKENS = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS start_offset
+  FROM tk
+),
+sl AS (
+  SELECT c.doc_id, c.n_tokens, c.start_offset, u.seq_id
+  FROM c, UNNEST(generate_series(
+    (c.start_offset // 512)::BIGINT,
+    ((c.start_offset + greatest(c.n_tokens - 1, 0)) // 512)::BIGINT
+  )) AS u(seq_id)
+),
+pieces AS (
+  SELECT sl.seq_id,
+    (sl.start_offset + greatest(0, sl.seq_id * 512 - sl.start_offset)
+     - sl.seq_id * 512) AS seq_pos,
+    tk.toks[
+      (greatest(0, sl.seq_id * 512 - sl.start_offset) + 1)::BIGINT
+      : least(sl.n_tokens, (sl.seq_id + 1) * 512 - sl.start_offset)::BIGINT
+    ] AS piece
+  FROM sl JOIN tk USING (doc_id)
+  WHERE least(sl.n_tokens, (sl.seq_id + 1) * 512 - sl.start_offset)
+        > greatest(0, sl.seq_id * 512 - sl.start_offset)
+)
+SELECT seq_id::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       len(flatten(list(piece ORDER BY seq_pos)))::BIGINT AS n_tokens,
+       flatten(list(piece ORDER BY seq_pos)) AS tokens
+FROM pieces
+GROUP BY seq_id
+"""
+
+
 # deterministic PII decoration (both engines build the identical text,
 # so the regex machinery — not the corpus — is what the gate compares)
 _PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
@@ -2366,6 +2418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_group": q_cap_per_group,
     "cap_per_group_approx": q_cap_per_group_approx,
     "pii_scrub": q_pii_scrub,
+    "seq_tokens": q_seq_tokens,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2420,6 +2473,7 @@ ORACLE_SQL: dict[str, str] = {
     "cap_per_group": SQL_CAP_PER_GROUP,
     "cap_per_group_approx": SQL_CAP_PER_GROUP_APPROX,
     "pii_scrub": SQL_PII_SCRUB,
+    "seq_tokens": SQL_SEQ_TOKENS,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

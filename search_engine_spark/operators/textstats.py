@@ -317,6 +317,72 @@ def materialize_sequences(
     )
 
 
+def emit_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actual packed training sequences, one row per sequence:
+
+    (seq_id, n_docs, n_tokens, tokens) — ``tokens`` is the sequence's
+    token array (whitespace tokens, matching ``pack_sequences``'s
+    counting), assembled from the documents' slices in stream order.
+    Every sequence except the stream's last carries exactly ``budget``
+    tokens; concatenating sequences in seq_id order reproduces the
+    corpus token stream in ``id_col`` order exactly — the parquet a
+    trainer's data loader reads directly (add
+    ``.option("maxRecordsPerFile", ...)`` on the write for fixed-size
+    shards).
+
+    Scale shape: ``materialize_sequences``'s slice rows join back to
+    each document's token array (a doc ships its array once per
+    sequence it touches — at most 1 + n_tokens/budget times), the
+    slice projection cuts it to the piece, and ONE groupBy(seq_id)
+    reassembles pieces in seq_pos order. Each grouped row is bounded
+    by ``budget`` tokens, and sequences are uniformly sized by
+    construction, so the exchange cannot skew regardless of document
+    length distribution."""
+    slices = materialize_sequences(
+        df, budget, text_col=text_col, id_col=id_col
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), "\\s+"), lambda t: t != ""
+        ).alias("_toks"),
+    )
+    pieces = slices.join(toks, "doc_id").select(
+        "seq_id",
+        "seq_pos",
+        F.slice(
+            "_toks",
+            (F.col("token_start") + 1).cast("int"),
+            (F.col("token_end") - F.col("token_start")).cast("int"),
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_pos", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # corpus-unigram language-model scoring — fluency signal for data curation
 # --------------------------------------------------------------------------

@@ -191,3 +191,56 @@ def test_materialize_matches_python_packing(spark):
                         pos - sid * budget))
             pos += take
     assert got == sorted(exp)
+
+
+def test_emit_sequences_reassembles_stream(spark):
+    """Sequences carry the ACTUAL tokens: concatenating them in seq_id
+    order must reproduce the corpus token stream in doc_id order, with
+    exactly `budget` tokens everywhere but the stream's tail."""
+    from search_engine_spark.operators.textstats import emit_sequences
+
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, ""),                        # contributes nothing
+        (3, "h i"),                     # straddles with doc 1's tail
+        (4, "  j   k \n l m n o p "),  # messy whitespace, 7 tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["seq_id"]: r.asDict()
+        for r in emit_sequences(docs, budget=5).collect()
+    }
+    stream = "a b c d e f g h i j k l m n o p".split()
+    expect = [stream[i : i + 5] for i in range(0, len(stream), 5)]
+    assert sorted(got) == list(range(len(expect)))
+    for sid, toks in enumerate(expect):
+        assert got[sid]["tokens"] == toks, sid
+        assert got[sid]["n_tokens"] == len(toks)
+    # doc straddle accounting: seq 1 = [f g | h i | j] spans docs 1,3,4
+    assert got[1]["n_docs"] == 3
+
+
+def test_emit_sequences_matches_python_oracle(spark):
+    """Random corpus vs a pure-python pack of the same token stream."""
+    import random
+
+    from search_engine_spark.operators.textstats import emit_sequences
+
+    rng = random.Random(77)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    budget = 32
+    stream = [t for _, text in rows for t in text.split() if t]
+    expect = [
+        stream[i : i + budget] for i in range(0, len(stream), budget)
+    ]
+    got = {
+        r["seq_id"]: r["tokens"]
+        for r in emit_sequences(docs, budget=budget).collect()
+    }
+    assert sorted(got) == list(range(len(expect)))
+    for sid, toks in enumerate(expect):
+        assert got[sid] == toks, sid
