@@ -2172,6 +2172,43 @@ def q_unigram_lm(spark, sf_dir):
     )
 
 
+MIX_BUDGET = 200
+
+
+def q_temp_mix(spark, sf_dir):
+    """Temperature-rebalanced (T=0.5) mixture fractions over the lang
+    strata for a 200-row target mix — the multilingual upsampling rule
+    as a tiny driver-side table, r6-rounded on both sides."""
+    import math
+
+    from search_engine_spark.operators.textstats import (
+        temperature_fractions,
+    )
+    from search_engine_spark.session import local_df
+
+    fr = temperature_fractions(
+        _docs(spark, sf_dir), MIX_BUDGET, strat_col="lang",
+        temperature=0.5,
+    )
+    rows = [
+        (s, math.floor(f * 1e6 + 0.5) / 1e6) for s, f in sorted(fr.items())
+    ]
+    return local_df(spark, rows, "stratum string, frac double")
+
+
+SQL_TEMP_MIX = f"""
+WITH c AS (
+  SELECT lang AS stratum, count(*)::DOUBLE AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+z AS (SELECT sum(sqrt(n)) AS z FROM c)
+SELECT stratum,
+       floor(least(1.0, {MIX_BUDGET} * (sqrt(n) / z) / n) * 1e6 + 0.5)
+         / 1e6 AS frac
+FROM c, z
+"""
+
+
 def q_seq_tokens(spark, sf_dir):
     """Packed training sequences MATERIALIZED (seq_id -> token array):
     the trainer-facing end of the packing chain — slice rows joined
@@ -2419,6 +2456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_group_approx": q_cap_per_group_approx,
     "pii_scrub": q_pii_scrub,
     "seq_tokens": q_seq_tokens,
+    "temp_mix": q_temp_mix,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2474,6 +2512,7 @@ ORACLE_SQL: dict[str, str] = {
     "cap_per_group_approx": SQL_CAP_PER_GROUP_APPROX,
     "pii_scrub": SQL_PII_SCRUB,
     "seq_tokens": SQL_SEQ_TOKENS,
+    "temp_mix": SQL_TEMP_MIX,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

@@ -199,6 +199,65 @@ def stratified_sample(
 # --------------------------------------------------------------------------
 
 
+def temperature_fractions(
+    df: DataFrame,
+    budget: int,
+    strat_col: str = "lang",
+    temperature: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-rebalanced mixture fractions: sampling weight
+    q_s ∝ n_s^T over the strata (T=1 proportional, T→0 uniform —
+    the multilingual-pretraining upsampling rule), converted to
+    per-stratum KEEP fractions for a ``budget``-row target mix:
+
+        frac_s = min(1, budget · q_s / n_s)
+
+    Low-resource strata get fractions ABOVE their proportional share;
+    a stratum whose full population is smaller than its allocation
+    saturates at 1.0 (the shortfall is reported, not silently
+    redistributed — rerun with a larger budget or lower T to spread
+    it). Driver-side: one tiny groupBy-count collect (one row per
+    stratum); weights are summed in sorted-stratum order so the float
+    result is deterministic. Feed the returned dict straight into
+    ``stratified_sample``."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0 (got {temperature})")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strat_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    weights = {s: float(n) ** temperature for s, n in counts.items()}
+    z = sum(weights[s] for s in sorted(weights))
+    return {
+        s: min(1.0, budget * (weights[s] / z) / counts[s])
+        for s in sorted(counts)
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    strat_col: str = "lang",
+    temperature: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``df`` downsampled to a temperature-rebalanced ~``budget``-row
+    training mix: ``temperature_fractions`` → ``stratified_sample``
+    (deterministic md5-bucket keeps, no RNG state). Survivor count is
+    budget in expectation minus saturation shortfall."""
+    fracs = temperature_fractions(
+        df, budget, strat_col=strat_col, temperature=temperature
+    )
+    return stratified_sample(
+        df, fracs, strat_col=strat_col, id_col=id_col
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -316,6 +316,44 @@ def test_cap_per_group_approx_no_window(capdocs):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_temperature_fractions_math(spark):
+    import math
+
+    from search_engine_spark.operators.textstats import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    # skewed strata: 800 / 160 / 40 rows
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "de") for i in range(160)]
+        + [(2000 + i, "sw") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    fr = temperature_fractions(df, budget=500, temperature=0.5)
+    w = {s: math.sqrt(n) for s, n in (("en", 800), ("de", 160), ("sw", 40))}
+    z = w["de"] + w["en"] + w["sw"]  # sorted-stratum order
+    for s, n in (("en", 800), ("de", 160), ("sw", 40)):
+        assert fr[s] == pytest.approx(min(1.0, 500 * (w[s] / z) / n))
+    # T=0.5 upsamples the tail relative to proportional share
+    assert fr["sw"] > fr["en"]
+    # T=1 is exactly proportional: every stratum keeps budget/N
+    fr1 = temperature_fractions(df, budget=500, temperature=1.0)
+    assert all(f == pytest.approx(500 / 1000) for f in fr1.values())
+    # saturation clamps at 1.0
+    frbig = temperature_fractions(df, budget=10_000, temperature=0.5)
+    assert frbig["sw"] == 1.0
+    # expected sample size lands near the budget (md5 buckets are
+    # near-uniform; generous tolerance)
+    got = temperature_sample(df, budget=500, temperature=0.5).count()
+    assert abs(got - 500) < 90
+    with pytest.raises(ValueError):
+        temperature_fractions(df, budget=0)
+    with pytest.raises(ValueError):
+        temperature_fractions(df, budget=10, temperature=0.0)
+
+
 def test_unigram_lm_score(spark):
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.operators.index_build import build_index
