@@ -76,6 +76,7 @@ class StreamingLiveIndex:
         doc_id_col: str = "doc_id",
         schema=None,
         checkpoint: str | None = None,
+        transform=None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -83,6 +84,13 @@ class StreamingLiveIndex:
         self.cfg = cfg
         self.text_col = text_col
         self.doc_id_col = doc_id_col
+        #: optional hygiene hook ``DataFrame -> DataFrame`` applied to
+        #: each micro-batch's live rows BEFORE the delta build — e.g.
+        #: ``lambda df: scrub_pii(gopher_keep(df, text_col="content"),
+        #: text_col="content")``. Must keep text/doc-id columns and be
+        #: DETERMINISTIC: a replayed batch must transform identically
+        #: or replay-idempotence (right-wins re-merge == no-op) breaks.
+        self.transform = transform
         self.schema = schema or spark.read.parquet(input_path).schema
         self.checkpoint = checkpoint or os.path.join(
             root, "_stream_checkpoint"
@@ -116,6 +124,8 @@ class StreamingLiveIndex:
                 if ptr is not None
                 else None
             )
+            if self.transform is not None:
+                alive = self.transform(alive)
             merged = current
             if alive.head(1):
                 delta = build_index(

@@ -224,3 +224,48 @@ def test_refresh_pagerank_publishes_warm_started_ranks(spark, tmp_path):
     assert srv._pr and not srv._pr_explicit
     for d, v in srv._pr.items():
         assert abs(got[d] - v) < 1e-12
+
+
+def test_hygiene_transform_hook(spark, tmp_path):
+    """A transform installed on the live loop must shape every
+    generation: streamed-with-scrub == one-shot build over the
+    scrubbed union."""
+    from search_engine_spark.operators.quality import scrub_pii
+
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+
+    base = generate_corpus(spark, 120, seed=9)
+    planted = base.withColumn(
+        "content",
+        F.concat(
+            "content",
+            F.lit(" leaked contact alice"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    planted.where(F.col("doc_id") < 60).write.mode("append").parquet(
+        corpus_dir
+    )
+    live = StreamingLiveIndex(
+        spark, corpus_dir, root, cfg=CFG,
+        transform=lambda df: scrub_pii(df, text_col="content"),
+    )
+    live.process_available()
+    planted.where(F.col("doc_id") >= 60).write.mode("append").parquet(
+        corpus_dir
+    )
+    live.process_available()
+
+    merged = load_latest_index(spark, root)
+    rebuilt = build_index(scrub_pii(planted, text_col="content"), cfg=CFG)
+    assert _signature(merged) == _signature(rebuilt)
+    # the address never reached the index: no 'alice*' local-part term
+    terms = {r["term"] for r in merged.term_stats.collect()}
+    assert not any(t.startswith("alice") for t in terms)
+    # the scrub token DID land (tokenizer sees 'EMAIL' -> stemmed form)
+    from search_engine_spark.operators.parser import query_stems
+
+    scrub_terms = query_stems("EMAIL")
+    assert scrub_terms and all(t in terms for t in scrub_terms)
