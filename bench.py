@@ -328,6 +328,16 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         ).mode("overwrite").save()
         timings["emit_sequences"] = round(time.perf_counter() - t0, 4)
 
+        # DSIR importance resampling (round 4): fit the two hashed-ngram
+        # LMs (target = en slice), weight the corpus (narrow Arrow pass),
+        # Gumbel-top-k select — fit + weight + select end-to-end
+        from search_engine_spark.operators import dsir as _dsir
+
+        t0 = time.perf_counter()
+        _lam = _dsir.fit_log_ratios(docs, docs.where(F.col("lang") == "en"))
+        _dsir.dsir_select(docs, _lam, k=max(1, n_docs // 10), seed=7).count()
+        timings["dsir_select"] = round(time.perf_counter() - t0, 4)
+
         # corpus-hygiene quality filters (round 4): per-doc repetition
         # signals and the Gopher rule set — narrow zero-shuffle scans;
         # noop sink so column pruning can't skip the array algebra

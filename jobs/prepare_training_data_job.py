@@ -12,6 +12,7 @@ clusters → decontamination → packed-sequence slices.
         [--strip-spans-min-len L] \\
         [--source-cap N [--source-col source] [--source-cap-approx]] \\
         [--eval /path/to/eval_parquet] [--ngram 13] \\
+        [--dsir-target /path/to/target_parquet --dsir-k N [--dsir-seed S]] \\
         [--pack-budget 2048 | --no-pack]
 
 Writes <output>/docs (surviving corpus) and <output>/slices (trainer
@@ -72,9 +73,19 @@ def main() -> None:
     )
     ap.add_argument("--eval")
     ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="parquet of target-domain docs: keep the --dsir-k "
+        "survivors most like it (hashed-ngram importance resampling, "
+        "Gumbel-top-k; requires --dsir-k)",
+    )
+    ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--no-pack", action="store_true")
     args = ap.parse_args()
+    if (args.dsir_target is None) != (args.dsir_k is None):
+        ap.error("--dsir-target and --dsir-k must be given together")
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +118,13 @@ def main() -> None:
         source_cap_exact=not args.source_cap_approx,
         eval_df=eval_df,
         decontam_ngram=args.ngram,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target)
+            if args.dsir_target
+            else None
+        ),
+        dsir_k=args.dsir_k,
+        dsir_seed=args.dsir_seed,
         pack_budget=None if args.no_pack else args.pack_budget,
     )
     clean.write.mode("overwrite").parquet(

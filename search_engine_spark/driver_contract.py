@@ -2261,6 +2261,110 @@ GROUP BY seq_id
 """
 
 
+DSIR_SEED = 7
+DSIR_K = 50
+
+
+def _dsir_fit(spark, sf_dir):
+    """Fit the DSIR hashed-ngram log-ratio vector with target = the
+    English slice of the corpus, raw = the whole corpus (the standard
+    'select crawl docs that look like the curated set' setup)."""
+    from search_engine_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    lam = dsir.fit_log_ratios(docs, docs.where(F.col("lang") == "en"))
+    return docs, lam
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    LMs (target=en slice vs raw=corpus), per-doc log-likelihood-ratio
+    weight via the narrow closure-captured Arrow pass; DuckDB re-derives
+    the ENTIRE chain (tokens -> md5 buckets -> smoothed LMs -> weights)
+    relationally. r6-rounded on both sides (float sum order differs)."""
+    from search_engine_spark.operators import dsir
+
+    docs, lam = _dsir_fit(spark, sf_dir)
+    return dsir.dsir_weights(docs, lam).select(
+        "doc_id", _r6(F.col("dsir_weight")).alias("dsir_weight")
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel-top-k importance resampling over the DSIR weights —
+    sampling k docs without replacement with P ∝ exp(w), deterministic
+    (md5-derived Gumbel noise), reproduced draw-for-draw in SQL."""
+    from search_engine_spark.operators import dsir
+
+    docs, lam = _dsir_fit(spark, sf_dir)
+    sel = dsir.dsir_select(docs, lam, k=DSIR_K, seed=DSIR_SEED)
+    return sel.select(
+        "doc_id",
+        _r6(F.col("dsir_weight")).alias("dsir_weight"),
+        _r6(F.col("gumbel_key")).alias("gumbel_key"),
+    )
+
+
+# mirrors operators/dsir.py bucket-for-bucket: lower + split on
+# [^a-z0-9]+, uni+bigrams, md5-32 % 10000, Laplace alpha=1 LMs
+_SQL_DSIR_PREFIX = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM bg
+       WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM bg GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rc) AS rt),
+lr AS (
+  SELECT rc.bucket,
+         ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 10000.0))
+       - ln((rc.c + 1.0) / (tot.rt + 10000.0)) AS lam
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+),
+w AS (
+  SELECT bg.doc_id, sum(lr.lam) AS w
+  FROM bg JOIN lr USING (bucket) GROUP BY 1
+),
+dw AS (
+  SELECT d.doc_id, coalesce(w.w, 0.0) AS w
+  FROM documents d LEFT JOIN w USING (doc_id)
+)
+"""
+
+SQL_DSIR_WEIGHTS = _SQL_DSIR_PREFIX + """
+SELECT doc_id, floor(w * 1e6 + 0.5) / 1e6 AS dsir_weight FROM dw
+"""
+
+SQL_DSIR_SELECT = _SQL_DSIR_PREFIX + f"""
+, keyed AS (
+  SELECT doc_id, w,
+         w + -ln(-ln(((('0x' || substr(md5('{DSIR_SEED}:'
+                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+               + 0.5) / 4294967296.0)) AS key
+  FROM dw
+)
+SELECT doc_id,
+       floor(w * 1e6 + 0.5) / 1e6 AS dsir_weight,
+       floor(key * 1e6 + 0.5) / 1e6 AS gumbel_key
+FROM keyed ORDER BY key DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
 # deterministic PII decoration (both engines build the identical text,
 # so the regex machinery — not the corpus — is what the gate compares)
 _PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
@@ -2457,6 +2561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "seq_tokens": q_seq_tokens,
     "temp_mix": q_temp_mix,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2513,6 +2619,8 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "seq_tokens": SQL_SEQ_TOKENS,
     "temp_mix": SQL_TEMP_MIX,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

@@ -23,6 +23,10 @@ repo's operators in one declarative pass per stage:
                           rank; off by default)
   5. decontamination     (decontam.decontaminate vs a held-out eval
                           set, GPT-3-style n-gram overlap)
+  5b. DSIR selection     (dsir.dsir_resample — keep the k survivors
+                          that look most like a target corpus, by
+                          Gumbel-top-k over hashed-ngram importance
+                          weights; off by default)
   6. sequence packing    (textstats.materialize_sequences slice rows)
 
 Every stage is optional; stages see only the previous stage's
@@ -75,6 +79,9 @@ def prepare_training_data(
     source_cap_exact: bool = True,
     eval_df: DataFrame | None = None,
     decontam_ngram: int = 13,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_seed: int = 0,
     pack_budget: int | None = 2048,
 ) -> tuple[DataFrame, DataFrame | None, PipelineReport]:
     """Returns (clean_docs, slice_rows_or_None, report). Pass ``None``
@@ -229,6 +236,21 @@ def prepare_training_data(
             )
         )
         report.record("decontam", n, n2, secs=dt)
+        n = n2
+
+    if dsir_target is not None and dsir_k is not None:
+        from search_engine_spark.operators.dsir import dsir_resample
+
+        # importance resampling LAST among the filters: the LM fit and
+        # the k-selection should see only clean survivors. Survivors
+        # gain a dsir_weight column (their log p_target/p_raw score).
+        cur, n2, dt = _materialize(
+            dsir_resample(
+                cur, dsir_target, k=dsir_k, seed=dsir_seed,
+                text_col=text_col, id_col=id_col,
+            )
+        )
+        report.record("dsir", n, n2, secs=dt)
         n = n2
 
     slices = None

@@ -263,6 +263,7 @@ def pack_sequences(
     budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-cut sequence packing for LM training: documents
     are laid end-to-end in ``id_col`` order (deterministic) and the
@@ -280,16 +281,21 @@ def pack_sequences(
     then add per-partition totals prefix-summed over the tiny
     one-row-per-partition frame (same pattern as repo_link_graph's
     boundary stitch; the only single-partition window input is one row
-    per range partition). Token count is whitespace split — swap in
-    token_count's BPE-ish regex when byte-level fidelity matters."""
+    per range partition). Token count is whitespace split by default;
+    pass ``tokens_col`` (an array column, e.g. ``bpe_encode``'s token
+    ids) to pack a REAL tokenizer's stream instead."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1 (got {budget})")
     from pyspark.sql import Window
 
     # filter '' after split: Java split keeps leading/trailing empties,
     # and trim() strips only 0x20 — "hello\n" must count 1, not 2
-    n_tok = F.size(
-        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    n_tok = (
+        F.size(F.col(tokens_col))
+        if tokens_col is not None
+        else F.size(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+        )
     )
     parts = (
         df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
@@ -335,6 +341,7 @@ def materialize_sequences(
     budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The exploded slice rows a trainer actually consumes (r03 verdict
     #7): one row per (sequence, document) intersection —
@@ -349,7 +356,9 @@ def materialize_sequences(
     prefix sum — the explode is at most 1 + n_tokens/budget rows per
     doc, so the output is O(total_tokens / budget + n_docs) rows and
     never materializes token text."""
-    packed = pack_sequences(df, budget, text_col=text_col, id_col=id_col)
+    packed = pack_sequences(
+        df, budget, text_col=text_col, id_col=id_col, tokens_col=tokens_col
+    )
     b = F.lit(budget)
     seq = F.col("seq_id")
     t_start = F.greatest(F.lit(0), seq * b - F.col("start_offset"))
@@ -381,12 +390,15 @@ def emit_sequences(
     budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The actual packed training sequences, one row per sequence:
 
     (seq_id, n_docs, n_tokens, tokens) — ``tokens`` is the sequence's
-    token array (whitespace tokens, matching ``pack_sequences``'s
-    counting), assembled from the documents' slices in stream order.
+    token array (whitespace tokens by default; pass ``tokens_col`` to
+    pack a real tokenizer's output, e.g. ``bpe_encode`` ids — then
+    ``tokens`` carries that column's element type), assembled from the
+    documents' slices in stream order.
     Every sequence except the stream's last carries exactly ``budget``
     tokens; concatenating sequences in seq_id order reproduces the
     corpus token stream in ``id_col`` order exactly — the parquet a
@@ -403,12 +415,16 @@ def emit_sequences(
     construction, so the exchange cannot skew regardless of document
     length distribution."""
     slices = materialize_sequences(
-        df, budget, text_col=text_col, id_col=id_col
+        df, budget, text_col=text_col, id_col=id_col, tokens_col=tokens_col
     )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.col(text_col), "\\s+"), lambda t: t != ""
+        (
+            F.col(tokens_col)
+            if tokens_col is not None
+            else F.filter(
+                F.split(F.col(text_col), "\\s+"), lambda t: t != ""
+            )
         ).alias("_toks"),
     )
     pieces = slices.join(toks, "doc_id").select(

@@ -225,3 +225,46 @@ def test_c4_and_gopher_stages(spark):
     assert report.counts["gopher"] == 1     # doc 3 fell here
     assert report.dropped["c4_clean"] == 1
     assert report.dropped["gopher"] == 1
+
+
+def test_dsir_stage_selects_target_like_docs(spark):
+    """With a spark-flavored target, the DSIR stage keeps the
+    spark-flavored survivors and the report records the stage."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join dataframe aggregate spark"),
+            (2, "hash join shuffle spark partition pruning pushdown"),
+            (3, "cooking pasta sauce tomato basil garlic dinner recipe"),
+            (4, "gardening roses soil watering sunlight pruning shears"),
+            (5, "spark dataframe join aggregate shuffle partition scan"),
+        ],
+        ["doc_id", "content"],
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "spark join shuffle partition dataframe"),
+            (101, "aggregate scan pushdown spark dataframe join"),
+        ],
+        ["doc_id", "content"],
+    )
+    clean, _, report = prepare_training_data(
+        docs,
+        lang=None,
+        min_quality=None,
+        exact=False,
+        minhash_threshold=None,
+        dsir_target=target,
+        dsir_k=3,
+        dsir_seed=3,
+        pack_budget=None,
+    )
+    rows = clean.collect()
+    clean.unpersist()
+    assert len(rows) == 3
+    assert report.counts["dsir"] == 3 and report.dropped["dsir"] == 2
+    # exp(w) gaps between on/off-target docs dwarf Gumbel noise here:
+    # the selected 3 are exactly the spark-flavored docs
+    assert {r["doc_id"] for r in rows} == {1, 2, 5}
+    # survivors carry their importance weight (absolute value is
+    # smoothing-dominated at toy scale; the ORDERING is what selected)
+    assert all(r["dsir_weight"] is not None for r in rows)
