@@ -338,6 +338,20 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         _dsir.dsir_select(docs, _lam, k=max(1, n_docs // 10), seed=7).count()
         timings["dsir_select"] = round(time.perf_counter() - t0, 4)
 
+        # BPE tokenizer (round 4): train on the corpus (bounded word-
+        # frequency table -> driver merges), then the distributed
+        # Arrow encode pass over every doc
+        from search_engine_spark.operators import bpe as _bpe
+
+        t0 = time.perf_counter()
+        _tok = _bpe.train_bpe(docs, vocab_size=512)
+        timings["bpe_train"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        _bpe.bpe_encode(docs, _tok).select(
+            F.sum(F.size("token_ids"))
+        ).collect()
+        timings["bpe_encode"] = round(time.perf_counter() - t0, 4)
+
         # corpus-hygiene quality filters (round 4): per-doc repetition
         # signals and the Gopher rule set — narrow zero-shuffle scans;
         # noop sink so column pruning can't skip the array algebra

@@ -13,7 +13,7 @@ clusters → decontamination → packed-sequence slices.
         [--source-cap N [--source-col source] [--source-cap-approx]] \\
         [--eval /path/to/eval_parquet] [--ngram 13] \\
         [--dsir-target /path/to/target_parquet --dsir-k N [--dsir-seed S]] \\
-        [--pack-budget 2048 | --no-pack]
+        [--pack-budget 2048 | --no-pack] [--bpe-vocab V]
 
 Writes <output>/docs (surviving corpus) and <output>/slices (trainer
 slice rows, when packing is on), prints one JSON report line with
@@ -83,6 +83,12 @@ def main() -> None:
     ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--no-pack", action="store_true")
+    ap.add_argument(
+        "--bpe-vocab", type=int, default=None,
+        help="train a BPE tokenizer of this vocab size on the "
+        "surviving corpus and pack REAL token ids (writes "
+        "<output>/tokenizer.json)",
+    )
     args = ap.parse_args()
     if (args.dsir_target is None) != (args.dsir_k is None):
         ap.error("--dsir-target and --dsir-k must be given together")
@@ -125,6 +131,7 @@ def main() -> None:
         ),
         dsir_k=args.dsir_k,
         dsir_seed=args.dsir_seed,
+        bpe_vocab_size=args.bpe_vocab,
         pack_budget=None if args.no_pack else args.pack_budget,
     )
     clean.write.mode("overwrite").parquet(
@@ -134,6 +141,8 @@ def main() -> None:
         slices.write.mode("overwrite").parquet(
             os.path.join(args.output, "slices")
         )
+    if report.tokenizer is not None:
+        report.tokenizer.save(os.path.join(args.output, "tokenizer.json"))
     clean.unpersist()  # the returned frame stays persisted for the caller
     print(
         json.dumps(

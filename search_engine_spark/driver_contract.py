@@ -2305,6 +2305,29 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """BPE conservation law: train on the corpus (operators/bpe.py),
+    encode every doc to token ids, decode the ids back — the result
+    must equal whitespace-normalized text, which SQL states WITHOUT
+    re-deriving the merges. Verifies vocab/id bijection, end-of-word
+    handling, and that no corpus char fell out of the alphabet (any
+    UNK would surface as U+FFFD and hash-mismatch)."""
+    from search_engine_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    tok = bpe.train_bpe(docs, vocab_size=300)
+    return bpe.bpe_decode(bpe.bpe_encode(docs, tok), tok).select(
+        "doc_id", F.col("text_decoded").alias("text_rt")
+    )
+
+
+SQL_BPE_ROUNDTRIP = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_rt
+FROM documents
+"""
+
+
 # mirrors operators/dsir.py bucket-for-bucket: lower + split on
 # [^a-z0-9]+, uni+bigrams, md5-32 % 10000, Laplace alpha=1 LMs
 _SQL_DSIR_PREFIX = """
@@ -2563,6 +2586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "bpe_roundtrip": q_bpe_roundtrip,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2621,6 +2645,7 @@ ORACLE_SQL: dict[str, str] = {
     "temp_mix": SQL_TEMP_MIX,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
+    "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

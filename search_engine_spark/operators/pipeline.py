@@ -27,7 +27,12 @@ repo's operators in one declarative pass per stage:
                           that look most like a target corpus, by
                           Gumbel-top-k over hashed-ngram importance
                           weights; off by default)
-  6. sequence packing    (textstats.materialize_sequences slice rows)
+  6. sequence packing    (textstats.materialize_sequences slice rows;
+                          with ``bpe_vocab_size`` set, a BPE tokenizer
+                          is first trained on the survivors
+                          (operators/bpe.py) and packing counts REAL
+                          token ids instead of whitespace words —
+                          report.tokenizer carries the artifact)
 
 Every stage is optional; stages see only the previous stage's
 survivors, so each filter's wide work shrinks with the corpus. The
@@ -50,6 +55,7 @@ class PipelineReport:
     counts: dict = field(default_factory=dict)   # stage -> surviving docs
     dropped: dict = field(default_factory=dict)  # stage -> docs removed
     secs: dict = field(default_factory=dict)     # stage -> wall seconds
+    tokenizer: object = None  # trained BPETokenizer when bpe_vocab_size set
 
     def record(
         self, stage: str, before: int, after: int,
@@ -82,6 +88,7 @@ def prepare_training_data(
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_seed: int = 0,
+    bpe_vocab_size: int | None = None,
     pack_budget: int | None = 2048,
 ) -> tuple[DataFrame, DataFrame | None, PipelineReport]:
     """Returns (clean_docs, slice_rows_or_None, report). Pass ``None``
@@ -255,8 +262,29 @@ def prepare_training_data(
 
     slices = None
     if pack_budget:
+        tokens_col = None
+        if bpe_vocab_size:
+            from search_engine_spark.operators.bpe import (
+                bpe_encode,
+                train_bpe,
+            )
+
+            # tokenizer trained on the SURVIVORS (the corpus the model
+            # will actually see), then packing counts real token ids
+            import time as _time
+
+            t0 = _time.perf_counter()
+            tok = train_bpe(cur, vocab_size=bpe_vocab_size, text_col=text_col)
+            cur = bpe_encode(cur, tok, text_col=text_col).persist()
+            tokens_col = "token_ids"
+            report.secs["bpe"] = round(_time.perf_counter() - t0, 4)
+            report.tokenizer = tok
         slices = materialize_sequences(
-            cur, budget=pack_budget, text_col=text_col, id_col=id_col
+            cur,
+            budget=pack_budget,
+            text_col=text_col,
+            id_col=id_col,
+            tokens_col=tokens_col,
         )
         report.counts["slices"] = slices.count()
     return cur, slices, report

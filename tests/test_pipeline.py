@@ -268,3 +268,38 @@ def test_dsir_stage_selects_target_like_docs(spark):
     # survivors carry their importance weight (absolute value is
     # smoothing-dominated at toy scale; the ORDERING is what selected)
     assert all(r["dsir_weight"] is not None for r in rows)
+
+
+def test_bpe_packing_stage(spark):
+    """With bpe_vocab_size set the pipeline trains a tokenizer on the
+    survivors, survivors gain token_ids, and slices tile the BPE token
+    stream (not the whitespace stream)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the newest shuffle join is the widest join in spark"),
+            (2, "lower the partition count for the newest spark scan"),
+            (3, "wide rows flow lower and lower in the newest plan"),
+        ],
+        ["doc_id", "content"],
+    )
+    clean, slices, report = prepare_training_data(
+        docs,
+        lang=None,
+        min_quality=None,
+        exact=False,
+        minhash_threshold=None,
+        bpe_vocab_size=60,
+        pack_budget=9,
+    )
+    tok = report.tokenizer
+    assert tok is not None and len(tok.vocab) <= 60
+    rows = clean.orderBy("doc_id").collect()
+    total = 0
+    for r in rows:
+        assert list(r["token_ids"]) == tok.encode_str(r["content"])
+        total += len(r["token_ids"])
+    # slices tile the BPE stream: full coverage, budget-aligned cuts
+    srows = slices.orderBy("seq_id", "doc_id").collect()
+    assert sum(r["token_end"] - r["token_start"] for r in srows) == total
+    assert "bpe" in report.secs
+    clean.unpersist()
