@@ -2536,7 +2536,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_prefix": q_suggest_prefix,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
-    "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ann_cosine": q_ann_cosine,
@@ -2552,7 +2551,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dup_lsh_exact": q_embed_dup_lsh_exact,
     "media_stats": q_media_stats,
     "snippets": q_snippets,
-    "embed_dup_pairs": q_embed_dup_pairs,
     "url_normalize": q_url_normalize,
     "streaming_topk": q_streaming_topk,
     "decontam": q_decontam,
@@ -2562,7 +2560,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_index_exact": q_vector_index_exact,
     "dedup_components": q_dedup_components,
     "live_loop_topk": q_live_loop_topk,
+    "dsir_select": q_dsir_select,
+    "bpe_roundtrip": q_bpe_roundtrip,
     # --- entries past the driver gate's 50-record cap ---
+    # (minhash_signatures / embed_dup_pairs demoted for the two slots
+    # above: pairs are DERIVED from the signatures and minhash_pairs /
+    # embed_dup_lsh_exact keep those chains in-window end-to-end)
+    "minhash_signatures": q_minhash_signatures,
+    "embed_dup_pairs": q_embed_dup_pairs,
     # EVERY entry down to embed_dup_lsh is still oracle-checked in
     # tests/test_driver_contract.py (it runs the whole registry vs
     # DuckDB); the cap only bounds what CORRECTNESS_r{N}.json records.
@@ -2585,8 +2590,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_tokens": q_seq_tokens,
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
-    "dsir_select": q_dsir_select,
-    "bpe_roundtrip": q_bpe_roundtrip,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,

@@ -122,5 +122,7 @@ def test_gate_cap_discipline():
         "pack_slices",
         "pq_ann_exact",
         "decontam",
+        "dsir_select",
+        "bpe_roundtrip",
     ):
         assert flagship in first50, flagship
