@@ -352,6 +352,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         ).collect()
         timings["bpe_encode"] = round(time.perf_counter() - t0, 4)
 
+        # model-free semantic retrieval (round 4): feature-hashed
+        # embeddings + free-text cosine top-10, end-to-end
+        from search_engine_spark.operators import embed as _embed
+
+        t0 = time.perf_counter()
+        _embed.semantic_topk(docs, "hash join partition pruning").count()
+        timings["semantic_topk"] = round(time.perf_counter() - t0, 4)
+
         # corpus-hygiene quality filters (round 4): per-doc repetition
         # signals and the Gopher rule set — narrow zero-shuffle scans;
         # noop sink so column pruning can't skip the array algebra

@@ -2328,6 +2328,82 @@ FROM documents
 """
 
 
+EMBED_QUERY = "hash join partition pruning"
+EMBED_K = 10
+
+
+def q_hash_embed_topk(spark, sf_dir):
+    """Model-free semantic retrieval (operators/embed.py): signed
+    feature-hashed bag-of-words embeddings (Weinberger et al. 2009,
+    dim=64) over the corpus + the same embedding of a free-text query,
+    cosine top-10. DuckDB re-derives the whole chain SPARSELY (tokens
+    -> md5 bucket/sign -> per-bucket sums -> norms -> dot), so the
+    ranked answer itself is checked, not just the plumbing."""
+    from search_engine_spark.operators import embed
+
+    out = embed.semantic_topk(
+        _docs(spark, sf_dir), EMBED_QUERY, k=EMBED_K
+    )
+    return out.select("doc_id", _r6(F.col("cosine")).alias("cosine"))
+
+
+# sign = bit 16 of md5_32(token); bucket = md5_32 % 64 — mirrors
+# embed.hashed_features bit-for-bit. The dot runs sparse (bucket join);
+# Spark's dense unit-vector dot equals dot/(n_d*n_q) exactly in math,
+# and r6 rounding absorbs the float-path difference.
+_SQL_EMBED_PREFIX = f"""
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+dh AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM dt
+),
+ds AS (
+  SELECT doc_id, h % 64 AS bucket,
+         SUM(CASE WHEN (h // 65536) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END) AS val
+  FROM dh GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM ds GROUP BY 1),
+qt AS (
+  SELECT unnest(list_filter(regexp_split_to_array(
+             lower('{EMBED_QUERY}'), '[^a-z0-9]+'),
+             t -> t <> '')) AS tok
+),
+qh AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM qt),
+qs AS (
+  SELECT h % 64 AS bucket,
+         SUM(CASE WHEN (h // 65536) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END) AS val
+  FROM qh GROUP BY 1
+),
+qn AS (SELECT sqrt(sum(val * val)) AS n FROM qs),
+dots AS (
+  SELECT ds.doc_id, SUM(ds.val * qs.val) AS dot
+  FROM ds JOIN qs USING (bucket) GROUP BY 1
+),
+cos AS (
+  SELECT d.doc_id,
+         CASE WHEN dn.n > 0 AND qn.n > 0
+              THEN coalesce(dots.dot, 0.0) / (dn.n * qn.n)
+              ELSE 0.0 END AS c
+  FROM documents d
+  LEFT JOIN dn USING (doc_id)
+  LEFT JOIN dots USING (doc_id)
+  CROSS JOIN qn
+)
+"""
+
+SQL_HASH_EMBED_TOPK = _SQL_EMBED_PREFIX + f"""
+SELECT doc_id, floor(c * 1e6 + 0.5) / 1e6 AS cosine
+FROM cos ORDER BY c DESC, doc_id LIMIT {EMBED_K}
+"""
+
+
 # mirrors operators/dsir.py bucket-for-bucket: lower + split on
 # [^a-z0-9]+, uni+bigrams, md5-32 % 10000, Laplace alpha=1 LMs
 _SQL_DSIR_PREFIX = """
@@ -2590,6 +2666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_tokens": q_seq_tokens,
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
+    "hash_embed_topk": q_hash_embed_topk,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2649,6 +2726,7 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
+    "hash_embed_topk": SQL_HASH_EMBED_TOPK,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,

@@ -1,0 +1,182 @@
+"""Feature-hashed document embeddings and text-to-text retrieval —
+the engine's model-free semantic layer (Weinberger et al. 2009,
+"Feature Hashing for Large Scale Multitask Learning": signed hashed
+bag-of-words, the classic collision-unbiased sparse projection).
+
+Why it belongs here: the ANN stack (cosine_topk / LSH / IVF / PQ /
+VectorIndex) consumes an ``array<float>`` column; this module produces
+that column FROM TEXT, closing the loop raw corpus -> embedding ->
+ANN index -> "more like this" / free-text similar-document retrieval
+with zero external models — everything derivable (and oracle-checkable)
+from md5 arithmetic.
+
+The estimator: token t contributes sign(t) at bucket(t), where
+bucket = md5_32(t) % dim and sign = ±1 from bit 16 of the same hash
+(independent of the low bucket bits for dim <= 2^16); the vector is
+L2-normalized. Occurrences count — TF weighting is the raw count.
+
+100 TB shape:
+  - per-token hashing runs JVM-side (one md5 per token inside the
+    tokenize transform — no Python in the hash path); the ONLY Python
+    is one Arrow pass doing the dense scatter-add (np.add.at) +
+    normalize, so embedding is a zero-shuffle narrow scan;
+  - retrieval is whatever the ANN stack does with the column: brute
+    cosine is one narrow pass + TakeOrderedAndProject; at scale the
+    same column feeds VectorIndex.build for the cluster-pruned path.
+
+DuckDB mirrors every step sparsely (tokens -> md5 buckets/signs ->
+per-bucket sums -> norms -> dot) — the gate entry checks the cosine
+TOP-K itself, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EMBED_DIM = 64
+
+_SIGN_SHIFT = 16  # sign bit; buckets use the low bits (dim <= 2^16)
+
+
+def _word_tokens(text_col: Column) -> Column:
+    """Same surface tokenization as DSIR: lowercase, split on
+    non-alphanumeric runs, empties dropped."""
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def hashed_features(text_col: Column, dim: int = EMBED_DIM) -> Column:
+    """array<long> of encoded (bucket, sign) features, one per token
+    occurrence: e = bucket*2 + signbit. ONE md5 per token, computed
+    JVM-side; the Arrow scatter pass decodes with e>>1 / e&1."""
+    hashes = F.transform(
+        _word_tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.transform(
+        hashes,
+        lambda h: (h % dim) * 2 + F.shiftright(h, _SIGN_SHIFT) % 2,
+    )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, out_col): the L2-normalized signed hashed bag-of-words
+    vector per document (all-zero for token-free docs). Hashing is JVM
+    column algebra; the dense scatter-add + normalize is one Arrow
+    pass — zero shuffle, zero join (plan-asserted in tests)."""
+    if not 1 <= dim <= (1 << _SIGN_SHIFT):
+        raise ValueError(f"dim must be in [1, 65536] (got {dim})")
+    feats = hashed_features(F.col(text_col), dim)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def scatter(es: pd.Series) -> pd.Series:
+        out = []
+        for e in es:
+            v = np.zeros(dim, dtype=np.float64)
+            if e is not None and len(e):
+                a = np.asarray(e, dtype=np.int64)
+                np.add.at(v, a >> 1, (a & 1) * 2.0 - 1.0)
+                n = float(np.sqrt((v * v).sum()))
+                if n > 0.0:
+                    v /= n
+            out.append(v)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias(id_col), scatter(feats).alias(out_col)
+    )
+
+
+def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Driver-side twin of ``hash_embed`` for a single string (query
+    embedding) — identical md5 arithmetic, pinned equal in tests."""
+    v = [0.0] * dim
+    for t in _py_tokens(text):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        v[h % dim] += 1.0 if (h >> _SIGN_SHIFT) & 1 else -1.0
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n > 0.0 else v
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _unit_dot_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Top-k by dot product — equal to cosine because ``hash_embed``
+    vectors are unit-norm (zero-vector docs score 0.0 and sink,
+    instead of tripping ANSI divide-by-zero like a ratio would).
+    Plans as one narrow scan + TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = emb.select(
+        id_col,
+        F.aggregate(
+            F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cosine"),
+    )
+    if exclude_ids:
+        df = df.where(~F.col(id_col).isin(exclude_ids))
+    return df.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def semantic_topk(
+    df: DataFrame,
+    query_text: str,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Free-text similar-document retrieval: embed the corpus (narrow
+    Arrow pass), embed the query driver-side, brute cosine top-k
+    (TakeOrderedAndProject). (doc_id, cosine), cos DESC / id ASC."""
+    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    return _unit_dot_topk(emb, embed_text(query_text, dim), k, id_col)
+
+
+def more_like_this(
+    df: DataFrame,
+    doc_id,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents most similar to ``doc_id`` (itself excluded):
+    the anchor's text is fetched (one pruned scan), embedded
+    driver-side, and brute-cosined against the corpus embedding."""
+    anchor = (
+        df.where(F.col(id_col) == doc_id).select(text_col).limit(1).collect()
+    )
+    if not anchor:
+        raise KeyError(f"{id_col}={doc_id!r} not found")
+    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    return _unit_dot_topk(
+        emb, embed_text(anchor[0][0], dim), k, id_col,
+        exclude_ids=[doc_id],
+    )

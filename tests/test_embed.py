@@ -1,0 +1,105 @@
+"""Feature-hashed embeddings: driver-twin identity, plan shape,
+retrieval sanity, ANN-stack integration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.embed import (
+    EMBED_DIM,
+    embed_text,
+    hash_embed,
+    more_like_this,
+    semantic_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark shuffle join partition spark join"),
+        (2, "hash join partition pruning in spark"),
+        (3, "cooking pasta tomato basil garlic dinner"),
+        (4, "gardening roses soil watering sunlight"),
+        (5, "spark shuffle join partition spark join extra"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_spark_matches_driver_twin(docs):
+    got = hash_embed(docs, dim=32).join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).collect()
+    assert len(got) == 6
+    for r in got:
+        assert np.allclose(list(r["embedding"]), embed_text(r["text"], 32))
+
+
+def test_unit_norm_and_zero_doc(docs):
+    for r in hash_embed(docs, dim=32).join(docs, "doc_id").collect():
+        n = float(np.linalg.norm(r["embedding"]))
+        if r["text"]:
+            assert abs(n - 1.0) < 1e-12
+        else:
+            assert n == 0.0
+
+
+def test_dim_validation(docs):
+    with pytest.raises(ValueError):
+        hash_embed(docs, dim=0)
+    with pytest.raises(ValueError):
+        hash_embed(docs, dim=1 << 17)
+
+
+def test_hash_embed_plan_is_narrow(docs):
+    plan = (
+        hash_embed(docs, dim=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # JVM hash + one Arrow scatter pass
+    assert "ArrowEvalPython" in plan
+
+
+def test_semantic_topk_ranks_related_docs(docs):
+    out = semantic_topk(docs, "spark join shuffle", k=3).collect()
+    assert [r["doc_id"] for r in out[:2]] in ([1, 5], [5, 1])
+    assert out[0]["cosine"] > 0.5
+    # off-topic docs score near zero / negative, never above on-topic
+    all6 = semantic_topk(docs, "spark join shuffle", k=6).collect()
+    scores = {r["doc_id"]: r["cosine"] for r in all6}
+    assert max(scores[3], scores[4]) < min(scores[1], scores[2], scores[5])
+
+
+def test_more_like_this_excludes_anchor(docs):
+    out = more_like_this(docs, 1, k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids
+    assert ids[0] == 5  # near-duplicate text ranks first
+    assert out[0]["cosine"] > 0.9
+    with pytest.raises(KeyError):
+        more_like_this(docs, 999)
+
+
+def test_embedding_feeds_vector_index(spark):
+    """The hashed column is a first-class citizen of the ANN stack:
+    VectorIndex built over it returns the brute-force answer at the
+    exact dial."""
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = hash_embed(corpus, dim=EMBED_DIM).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).cache()
+    q = embed_text("hash join partition pruning", EMBED_DIM)
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    vidx = VectorIndex.build(emb, dim=EMBED_DIM, n_centroids=4, m=8)
+    got = [
+        r["vec_id"]
+        for r in vidx.topk(q, k=5, n_probe=4, exact=True).collect()
+    ]
+    assert got == brute
+    emb.unpersist()

@@ -138,6 +138,47 @@ def main() -> None:
         max_lines=55,
     )
 
+    from search_engine_spark.operators import bpe, dsir
+
+    lam = dsir.fit_log_ratios(
+        docs, docs.where(F.col("doc_id") % 7 == 0), text_col="text"
+    )
+    add(
+        "DSIR select (importance resampling)",
+        "The fitted log-ratio vector rides the Arrow UDF's closure, so "
+        "weighting is ONE narrow scan — no join, no Exchange anywhere "
+        "before the `TakeOrderedAndProject` that implements "
+        "Gumbel-top-k (per-partition heaps, driver merges k·P rows). "
+        "The LM fits (not shown) are each one groupBy whose output is "
+        "bounded by the feature dim (~10k rows) at any corpus size.",
+        dsir.dsir_select(docs, lam, k=50, seed=7, text_col="text"),
+        max_lines=40,
+    )
+
+    from search_engine_spark.operators import embed
+
+    add(
+        "Semantic top-k over hashed embeddings (`semantic_topk`)",
+        "Embedding is JVM md5 per token + ONE ArrowEvalPython scatter "
+        "pass — no Exchange anywhere; retrieval is a dot-product "
+        "`TakeOrderedAndProject` over unit vectors (per-partition "
+        "heaps, driver merges k·P rows). One narrow scan end-to-end.",
+        embed.semantic_topk(docs, "hash join partition pruning", k=10),
+        max_lines=40,
+    )
+
+    tok = bpe.train_bpe(docs, vocab_size=300, text_col="text")
+    add(
+        "BPE encode",
+        "The merge-rank table rides the closure of one Arrow UDF: the "
+        "encode is a zero-Exchange narrow pass over the corpus "
+        "(training, not shown, is one word-frequency groupBy cut by "
+        "TakeOrdered to `max_words` rows before the driver-side merge "
+        "learning).",
+        bpe.bpe_encode(docs, tok, text_col="text"),
+        max_lines=30,
+    )
+
     body = "\n".join(sections)
     header = (
         "# PLANS — physical plans of the headline operators\n\n"
