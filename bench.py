@@ -189,6 +189,16 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             )
             timings["serving_warm_ms"] = round(serving_warm_ms, 3)
             timings["serving_cached_ms"] = round(serving_cached_ms, 4)
+
+            # hybrid sparse+dense retrieval (round 4): BM25 pool over
+            # the saved index + hashed-embedding cosine pool, fused by
+            # reciprocal-rank fusion — must run before the artifacts
+            # dir is cleaned up (the loaded index reads it lazily)
+            from search_engine_spark.operators.hybrid import hybrid_topk
+
+            t0 = time.perf_counter()
+            hybrid_topk(idx, docs, "hash join partition pruning").count()
+            timings["hybrid_topk"] = round(time.perf_counter() - t0, 4)
         finally:
             shutil.rmtree(artifacts_dir, ignore_errors=True)
 

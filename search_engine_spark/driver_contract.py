@@ -2351,8 +2351,8 @@ def q_hash_embed_topk(spark, sf_dir):
 # embed.hashed_features bit-for-bit. The dot runs sparse (bucket join);
 # Spark's dense unit-vector dot equals dot/(n_d*n_q) exactly in math,
 # and r6 rounding absorbs the float-path difference.
-_SQL_EMBED_PREFIX = f"""
-WITH dt AS (
+_SQL_EMBED_CTES = f"""
+dt AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text),
                                                   '[^a-z0-9]+'),
@@ -2398,10 +2398,64 @@ cos AS (
 )
 """
 
+_SQL_EMBED_PREFIX = "WITH " + _SQL_EMBED_CTES
+
 SQL_HASH_EMBED_TOPK = _SQL_EMBED_PREFIX + f"""
 SELECT doc_id, floor(c * 1e6 + 0.5) / 1e6 AS cosine
 FROM cos ORDER BY c DESC, doc_id LIMIT {EMBED_K}
 """
+
+
+HYBRID_TERMS = ["hash", "join", "partition", "pruning"]
+HYBRID_POOL = 100
+HYBRID_RRF_K = 60
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid sparse+dense retrieval (operators/hybrid.py): BM25
+    top-100 pool fused with hashed-embedding cosine top-100 pool by
+    reciprocal-rank fusion, rrf_k=60 (Cormack et al. 2009). DuckDB
+    re-derives BOTH pools (the BM25 chain and the sparse embedding
+    chain) and the fused ranking — rank arithmetic 1/(60+r) is exact
+    in both engines, so the fused ORDER itself is checked."""
+    from search_engine_spark.operators.hybrid import hybrid_topk
+
+    out = hybrid_topk(
+        get_index(spark, sf_dir),
+        _docs(spark, sf_dir),
+        EMBED_QUERY,
+        k=10,
+        pool=HYBRID_POOL,
+        rrf_k=HYBRID_RRF_K,
+    )
+    return out.select(
+        "doc_id", _r6(F.col("rrf_score")).alias("rrf_score")
+    )
+
+
+SQL_HYBRID_TOPK = (
+    _score_sql(HYBRID_TERMS)
+    + ",\n"
+    + _SQL_EMBED_CTES
+    + f""",
+lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {HYBRID_POOL}
+),
+semr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM cos QUALIFY r <= {HYBRID_POOL}
+),
+fused AS (
+  SELECT doc_id,
+         coalesce(1.0 / ({HYBRID_RRF_K} + lexr.r), 0.0)
+       + coalesce(1.0 / ({HYBRID_RRF_K} + semr.r), 0.0) AS s
+  FROM lexr FULL JOIN semr USING (doc_id)
+)
+SELECT doc_id, floor(s * 1e6 + 0.5) / 1e6 AS rrf_score
+FROM fused ORDER BY s DESC, doc_id LIMIT 10
+"""
+)
 
 
 # mirrors operators/dsir.py bucket-for-bucket: lower + split on
@@ -2667,6 +2721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
     "hash_embed_topk": q_hash_embed_topk,
+    "hybrid_topk": q_hybrid_topk,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,
@@ -2727,6 +2782,7 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "hash_embed_topk": SQL_HASH_EMBED_TOPK,
+    "hybrid_topk": SQL_HYBRID_TOPK,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,
     "ann_cosine": SQL_ANN_COSINE,
