@@ -310,6 +310,26 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             lsh_hits += len(lsh & ex)
             ivf_hits += len(ivf & ex)
             pq_hits += len(pq & ex)
+        # vector serving tier (round 4): save the ANN artifact, answer
+        # from pyarrow+numpy with no Spark on the query path
+        from search_engine_spark.operators.vector_index import VectorIndex
+        from search_engine_spark.vector_serving import VectorServing
+
+        vdir = tempfile.mkdtemp(prefix="se_bench_vidx_")
+        try:
+            VectorIndex(assigned, cb, cents, dim).save(vdir)
+            vsrv = VectorServing.load(vdir)
+            vq = list(qvec)
+            vsrv.topk(vq, k=10)  # load + warm the probed clusters
+            t0 = time.perf_counter()
+            for _ in range(50):
+                vsrv.topk(vq, k=10)
+            timings["vector_serving_warm_ms"] = round(
+                (time.perf_counter() - t0) * 1000 / 50, 3
+            )
+        finally:
+            shutil.rmtree(vdir, ignore_errors=True)
+
         assigned.unpersist()
         enc.unpersist()
         recall_lsh = lsh_hits / max(exact_n, 1)
