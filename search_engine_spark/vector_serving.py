@@ -264,6 +264,51 @@ def _top_by(score: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return order[: min(k, len(order))]
 
 
+class HybridServing:
+    """Interactive hybrid retrieval: the text serving cell's BM25 pool
+    fused with this module's ANN pool by reciprocal-rank fusion — the
+    serving twin of operators/hybrid.hybrid_topk, at memory speed
+    (both pools answer in ~1 ms; fusion is a dict walk over <= 2·pool
+    entries). With ``exact_sem=True`` the dense pool is brute-force
+    (the parity dial vs the Spark operator); default leaves the
+    ANN cell on its IVF-PQ dial for speed."""
+
+    def __init__(
+        self,
+        text,
+        vectors: VectorServing,
+        rrf_k: int = 60,
+        pool: int = 100,
+        exact_sem: bool = False,
+    ):
+        self.text = text
+        self.vectors = vectors
+        self.rrf_k = rrf_k
+        self.pool = pool
+        self.exact_sem = exact_sem
+
+    def search(
+        self, query: str, k: int = 10, pool: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, rrf_score), rrf DESC / id ASC."""
+        pool = pool or self.pool
+        lex = self.text.search(query, k=pool)  # already (score↓, id↑)
+        sem = self.vectors.topk_text(
+            query, k=pool, exact=self.exact_sem
+        )
+        fused: dict[int, float] = {}
+        for r, row in enumerate(lex, start=1):
+            fused[int(row[0])] = fused.get(int(row[0]), 0.0) + 1.0 / (
+                self.rrf_k + r
+            )
+        for r, (vid, _cos) in enumerate(sem, start=1):
+            fused[int(vid)] = fused.get(int(vid), 0.0) + 1.0 / (
+                self.rrf_k + r
+            )
+        out = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return [(d, s) for d, s in out]
+
+
 class VectorServingRouter:
     """N cells over disjoint cluster ranges, rank-identical to the
     single node: exact queries merge per-cell brute top-k; approximate

@@ -146,3 +146,49 @@ def test_warm_latency_sub_10ms(saved_vidx):
         srv.topk(_q(dim, i % 3), k=10)
     per = (time.perf_counter() - t0) / 20
     assert per < 0.01, f"warm ANN query took {per * 1000:.2f} ms"
+
+
+def test_hybrid_serving_matches_spark_hybrid(spark, tmp_path):
+    """HybridServing (text cell + exact-dial ANN cell) returns the
+    same fused ranking as the Spark hybrid_topk operator."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.hybrid import hybrid_topk
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.serving import ServingIndex
+    from search_engine_spark.vector_serving import HybridServing
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    cfg = EngineConfig(remove_stopwords=False, stem=False)
+    idx = build_index(docs, text_col="text", cfg=cfg)
+    tdir = str(tmp_path / "tidx")
+    idx.save(tdir)
+
+    emb = hash_embed(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    vdir = str(tmp_path / "vidx")
+    VectorIndex.build(emb, dim=64, n_centroids=4, m=8).save(vdir)
+
+    q = "hash join partition pruning"
+    want = [
+        (r["doc_id"], r["rrf_score"])
+        for r in hybrid_topk(idx, docs, q, k=10, pool=50).collect()
+    ]
+    hs = HybridServing(
+        ServingIndex.load(tdir),
+        VectorServing.load(vdir),
+        pool=50,
+        exact_sem=True,
+    )
+    got = hs.search(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=0)
+    # the fast dial still answers (ANN pool) and stays plausible
+    fast = HybridServing(
+        ServingIndex.load(tdir), VectorServing.load(vdir), pool=50
+    ).search(q, k=10)
+    assert len(fast) == 10
+    docs.unpersist()
