@@ -2321,9 +2321,13 @@ def q_bpe_roundtrip(spark, sf_dir):
     )
 
 
+# explicit ASCII class, NOT '\s': RE2 \s is ASCII but python
+# str.split is unicode — the operator pre-tokenizes on exactly this
+# class (bpe.split_words) so both engines agree on every input, not
+# just the ASCII test corpus
 SQL_BPE_ROUNDTRIP = r"""
 SELECT doc_id,
-       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_rt
+       trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS text_rt
 FROM documents
 """
 

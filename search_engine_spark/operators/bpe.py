@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from functools import cached_property
 
@@ -48,6 +49,18 @@ from pyspark.sql.functions import pandas_udf
 END_WORD = "</w>"
 UNK_ID = 0
 UNK_TOKEN = "<unk>"
+
+# ASCII whitespace, the class Java \s matches — NOT python str.split()
+# (unicode): every engine that mirrors this chain (Spark F.split("\\s+"),
+# the DuckDB oracle's regexp_replace, RE2) agrees on this class, and it
+# keeps BPE word boundaries identical to pack_sequences' token counting
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str) -> list[str]:
+    """The tokenizer's pre-tokenization: ASCII-whitespace split,
+    empties dropped."""
+    return [w for w in _WS_RE.split(text) if w]
 
 
 @dataclass(frozen=True)
@@ -82,20 +95,22 @@ class BPETokenizer:
         return syms
 
     def encode_str(self, text: str) -> list[int]:
-        """Token ids for one text cell: whitespace pre-tokenization
-        (same split the packing chain counts), per-word BPE, symbols
-        outside the vocab -> UNK_ID."""
+        """Token ids for one text cell: ASCII-whitespace
+        pre-tokenization (the same class the packing chain's Java \\s
+        counts), per-word BPE, symbols outside the vocab -> UNK_ID."""
         vocab = self.vocab
         out: list[int] = []
-        for word in text.split():
+        for word in split_words(text):
             for s in self.encode_word(word):
                 out.append(vocab.get(s, UNK_ID))
         return out
 
     def decode_ids(self, ids: list[int]) -> str:
         """Inverse of encode_str up to whitespace normalization (and
-        exactly inverse when no UNK was emitted)."""
+        exactly inverse when no UNK was emitted — UNK renders U+FFFD,
+        never recoverable content)."""
         inv = {i: s for s, i in self.vocab.items()}
+        inv[UNK_ID] = "�"
         text = "".join(inv.get(i, "�") for i in ids)
         return text.replace(END_WORD, " ").strip()
 
@@ -249,7 +264,7 @@ def bpe_encode(
                 out.append([])
                 continue
             ids: list[int] = []
-            for word in t.split():
+            for word in split_words(t):
                 got = cache.get(word)
                 if got is None:
                     got = [
@@ -270,9 +285,11 @@ def bpe_decode(
     out_col: str = "text_decoded",
 ) -> DataFrame:
     """Append ``out_col: string`` — the round-trip text (whitespace
-    normalized; unknown ids render U+FFFD). Pure JVM column algebra:
-    id -> symbol via a map literal, concat, end-of-word -> space."""
+    normalized; UNK and unknown ids render U+FFFD). Pure JVM column
+    algebra: id -> symbol via a map literal, concat, end-of-word ->
+    space."""
     inv = {i: s for s, i in tokenizer.vocab.items()}
+    inv[UNK_ID] = "�"
     mapping = F.create_map(
         *[x for i in sorted(inv) for x in (F.lit(i), F.lit(inv[i]))]
     )

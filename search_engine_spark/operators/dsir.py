@@ -56,12 +56,12 @@ _GUMBEL_DENOM = 4294967296.0  # 2^32: md5_32 values land in [0, 2^32)
 
 
 def _word_tokens(text_col: Column) -> Column:
-    """Lowercased word tokens: split on non-alphanumeric runs, empties
-    dropped. Deliberately NOT the engine's Porter pipeline — DSIR
-    features are surface words (the paper hashes raw uni/bigrams)."""
-    return F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    """DSIR features are surface words (the paper hashes raw
+    uni/bigrams) — the engine's shared surface tokenization, NOT the
+    Porter index analyzer."""
+    from search_engine_spark.operators.textstats import surface_tokens
+
+    return surface_tokens(text_col)
 
 
 def ngram_buckets(text_col: Column, dim: int = DSIR_DIM) -> Column:

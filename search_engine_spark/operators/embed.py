@@ -47,11 +47,10 @@ _SIGN_SHIFT = 16  # sign bit; buckets use the low bits (dim <= 2^16)
 
 
 def _word_tokens(text_col: Column) -> Column:
-    """Same surface tokenization as DSIR: lowercase, split on
-    non-alphanumeric runs, empties dropped."""
-    return F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    """The engine's shared surface tokenization (same as DSIR)."""
+    from search_engine_spark.operators.textstats import surface_tokens
+
+    return surface_tokens(text_col)
 
 
 def hashed_features(text_col: Column, dim: int = EMBED_DIM) -> Column:
@@ -114,9 +113,9 @@ def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
 
 
 def _py_tokens(text: str) -> list[str]:
-    import re
+    from search_engine_spark.operators.textstats import surface_tokens_py
 
-    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return surface_tokens_py(text)
 
 
 def _unit_dot_topk(

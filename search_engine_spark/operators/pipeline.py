@@ -27,12 +27,13 @@ repo's operators in one declarative pass per stage:
                           that look most like a target corpus, by
                           Gumbel-top-k over hashed-ngram importance
                           weights; off by default)
-  6. sequence packing    (textstats.materialize_sequences slice rows;
-                          with ``bpe_vocab_size`` set, a BPE tokenizer
-                          is first trained on the survivors
-                          (operators/bpe.py) and packing counts REAL
-                          token ids instead of whitespace words —
-                          report.tokenizer carries the artifact)
+  5c. BPE tokenize       (operators/bpe.py — with ``bpe_vocab_size``
+                          set, a tokenizer is trained on the survivors
+                          and they gain a ``token_ids`` column;
+                          report.tokenizer carries the artifact;
+                          independent of packing)
+  6. sequence packing    (textstats.materialize_sequences slice rows —
+                          over REAL token ids when stage 5c ran)
 
 Every stage is optional; stages see only the previous stage's
 survivors, so each filter's wide work shrinks with the corpus. The
@@ -260,25 +261,28 @@ def prepare_training_data(
         report.record("dsir", n, n2, secs=dt)
         n = n2
 
+    tokens_col = None
+    if bpe_vocab_size:
+        # tokenizer trained on the SURVIVORS (the corpus the model will
+        # actually see); survivors gain token_ids whether or not packing
+        # runs, and report.tokenizer carries the artifact. Goes through
+        # _materialize so the previous stage's cache is released like
+        # every other stage (count == survivor count, not recorded).
+        from search_engine_spark.operators.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        tok = train_bpe(cur, vocab_size=bpe_vocab_size, text_col=text_col)
+        cur, _, dt = _materialize(
+            bpe_encode(cur, tok, text_col=text_col)
+        )
+        tokens_col = "token_ids"
+        report.secs["bpe"] = dt
+        report.tokenizer = tok
+
     slices = None
     if pack_budget:
-        tokens_col = None
-        if bpe_vocab_size:
-            from search_engine_spark.operators.bpe import (
-                bpe_encode,
-                train_bpe,
-            )
-
-            # tokenizer trained on the SURVIVORS (the corpus the model
-            # will actually see), then packing counts real token ids
-            import time as _time
-
-            t0 = _time.perf_counter()
-            tok = train_bpe(cur, vocab_size=bpe_vocab_size, text_col=text_col)
-            cur = bpe_encode(cur, tok, text_col=text_col).persist()
-            tokens_col = "token_ids"
-            report.secs["bpe"] = round(_time.perf_counter() - t0, 4)
-            report.tokenizer = tok
         slices = materialize_sequences(
             cur,
             budget=pack_budget,

@@ -160,6 +160,26 @@ def fingerprint_rolling(
 SAMPLE_BUCKETS = 10_000
 
 
+def surface_tokens(text_col: Column) -> Column:
+    """The engine's standard SURFACE tokenization (hashed-feature
+    operators — DSIR, hashed embeddings): lowercase, split on
+    non-alphanumeric runs, empties dropped. Deliberately NOT the index
+    analyzer (no stemming/stopwords — those features hash raw words);
+    every DuckDB oracle CTE that mirrors a hashed-feature operator
+    restates exactly this definition."""
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def surface_tokens_py(text: str) -> list[str]:
+    """Driver-side twin of ``surface_tokens`` (pinned equal where a
+    scalar path mirrors a column path, e.g. embed.embed_text)."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
 def _hash_bucket(id_col: Column) -> Column:
     """Stable per-row bucket in [0, SAMPLE_BUCKETS): first 8 hex chars of
     md5(id) as an integer — identical arithmetic is expressible in any

@@ -102,9 +102,21 @@ class VectorServing:
         )
         n = tbl.num_rows
         ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(
-            tbl.column("embedding").to_pylist(), dtype=np.float64
-        ).reshape(n, self.dim)
+        # flatten() respects offsets/validity; the boxed to_pylist path
+        # is only for the (never-written-by-build) null-embedding case
+        earr = tbl.column("embedding").combine_chunks()
+        if earr.null_count == 0:
+            emb = np.asarray(
+                earr.flatten(), dtype=np.float64
+            ).reshape(n, self.dim)
+        else:
+            emb = np.asarray(
+                [
+                    x if x is not None else [0.0] * self.dim
+                    for x in earr.to_pylist()
+                ],
+                dtype=np.float64,
+            ).reshape(n, self.dim)
         norms = tbl.column("vec_norm").to_numpy(zero_copy_only=False)
         # packed int64 words -> (n, m) uint8 codes; NULL words -> mask
         m = self.codebooks.m
@@ -138,10 +150,11 @@ class VectorServing:
         pool: int,
         n_probe: int | None = None,
         exclude_ids=None,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """(ids, approx) of this cell's top ``pool`` rows by PQ-ADC
-        score inside the probed clusters — the identical LUT-gather
-        pq_topk ships into its Arrow screen."""
+    ) -> tuple[np.ndarray, np.ndarray, list[int]]:
+        """(ids, approx, probed_clusters) of this cell's top ``pool``
+        rows by PQ-ADC score inside the probed clusters — the identical
+        LUT-gather pq_topk ships into its Arrow screen. The probed
+        cluster list lets rerank stay O(probed), not O(ever-loaded)."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         qu = q / qn if qn > 0 else q
@@ -151,35 +164,38 @@ class VectorServing:
         for s in range(m):
             lut256[s, : C.shape[1]] = C[s] @ qu[s * sub : (s + 1) * sub]
         sel = np.arange(m)
+        probed = self._probe(q, n_probe)
         ids_all, sc_all = [], []
-        for c in self._probe(q, n_probe):
+        for c in probed:
             d = self._cluster(c)
             sc = lut256[sel[None, :], d["codes"]].sum(axis=1)
             sc[~d["ok"]] = -np.inf
             ids_all.append(d["ids"])
             sc_all.append(sc)
         if not ids_all:
-            return np.array([], dtype=np.int64), np.array([])
+            return np.array([], dtype=np.int64), np.array([]), probed
         ids = np.concatenate(ids_all)
         sc = np.concatenate(sc_all)
         if exclude_ids:
             keep = ~np.isin(ids, np.asarray(list(exclude_ids)))
             ids, sc = ids[keep], sc[keep]
         top = _top_by(sc, ids, pool)
-        return ids[top], sc[top]
+        return ids[top], sc[top], probed
 
     def rerank(
-        self, query_vec, ids: np.ndarray, k: int
+        self, query_vec, ids: np.ndarray, k: int,
+        clusters: list[int] | None = None,
     ) -> list[tuple[int, float]]:
-        """Exact-cosine top-k among ``ids`` (full-precision vectors
-        fetched from the ALREADY-LOADED clusters only — pool members
-        can only come from screened clusters, so this never widens the
-        probe's pruned read)."""
+        """Exact-cosine top-k among ``ids``. Pass the screen's probed
+        cluster list to keep the fetch O(probed rows); the fallback
+        scans whatever this cell has loaded (pool members can only
+        come from screened clusters, so neither widens the probe's
+        pruned read)."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         want = set(int(i) for i in ids)
         out_ids, out_cos = [], []
-        for c in sorted(self._data):
+        for c in clusters if clusters is not None else sorted(self._data):
             d = self._cluster(c)
             mask = np.isin(d["ids"], np.asarray(list(want) or [-1]))
             if not mask.any():
@@ -221,10 +237,10 @@ class VectorServing:
             pool = max(10 * k, 100)
         if pool >= 1_000_000:
             return self._brute(q, k, exclude_ids)
-        ids, _ = self.screen(
+        ids, _, probed = self.screen(
             q, pool, n_probe=n_probe, exclude_ids=exclude_ids
         )
-        return self.rerank(q, ids, k)
+        return self.rerank(q, ids, k, clusters=probed)
 
     def topk_text(self, query_text: str, k: int = 10, **kw):
         """Free-text entry point over a hashed-embedding index
@@ -340,7 +356,14 @@ class VectorServingRouter:
         exclude_ids=None,
     ) -> list[tuple[int, float]]:
         q = np.asarray(query_vec, dtype=np.float64)
-        if exact or pool is not None and pool >= 1_000_000:
+        n_cents = self.shards[0].cents.shape[0]
+        if (
+            exact
+            or (pool is not None and pool >= 1_000_000)
+            or (n_probe is not None and n_probe >= n_cents)
+        ):
+            # the same dials VectorServing.topk resolves to brute force
+            # must stay brute here too, or rank-identity breaks
             merged = [
                 r
                 for s in self.shards
@@ -350,19 +373,21 @@ class VectorServingRouter:
             return merged[:k]
         if pool is None:
             pool = max(10 * k, 100)
-        ids_all, sc_all = [], []
+        ids_all, sc_all, probed_by_shard = [], [], []
         for s in self.shards:
-            ids, sc = s.screen(
+            ids, sc, probed = s.screen(
                 q, pool, n_probe=n_probe, exclude_ids=exclude_ids
             )
             ids_all.append(ids)
             sc_all.append(sc)
+            probed_by_shard.append(probed)
         ids = np.concatenate(ids_all) if ids_all else np.array([])
         sc = np.concatenate(sc_all) if sc_all else np.array([])
         top = _top_by(sc, ids, pool)  # the single node's global pool
         pool_ids = ids[top]
         per_shard = [
-            s.rerank(q, pool_ids, k) for s in self.shards
+            s.rerank(q, pool_ids, k, clusters=probed)
+            for s, probed in zip(self.shards, probed_by_shard)
         ]
         merged = [r for rs in per_shard for r in rs]
         merged.sort(key=lambda t: (-t[1], t[0]))

@@ -175,12 +175,37 @@ def test_bpe_encode_plan_is_narrow(text_df, trained):
 
 
 def test_bpe_decode_roundtrip(text_df, trained):
+    from search_engine_spark.operators.bpe import split_words
+
     df = bpe_decode(bpe_encode(text_df, trained), trained)
     for r in df.select("text", "text_decoded").collect():
-        want = " ".join(r["text"].split())
-        if "�" in r["text_decoded"]:
-            continue  # UNK row (doc 5) is lossy by design
-        assert r["text_decoded"] == want
+        # the tokenizer trained on this corpus, so every char is in
+        # the alphabet: round-trip is exact for every row (UNK-lossy
+        # decode is pinned in test_unk_decodes_to_replacement_char)
+        assert r["text_decoded"] == " ".join(split_words(r["text"]))
+
+
+def test_unk_decodes_to_replacement_char():
+    tok = train_bpe_from_counts(COUNTS, vocab_size=40)
+    ids = tok.encode_str("zz!")  # '!' is outside the training alphabet
+    assert UNK_ID in ids
+    assert "�" in tok.decode_ids(ids)
+    assert "<unk>" not in tok.decode_ids(ids)
+
+
+def test_ascii_whitespace_pretokenization():
+    """str.split() is unicode; the tokenizer is ASCII-ws (the class
+    Java \\s and the DuckDB oracle's RE2 class agree on) so every
+    mirroring engine sees the same words."""
+    from search_engine_spark.operators.bpe import split_words
+
+    assert split_words("a\x0bb") == ["a", "b"]  # vertical tab splits
+    assert split_words(" a\tb\nc ") == ["a", "b", "c"]
+    # NBSP is unicode-only whitespace: str.split would cut here, the
+    # tokenizer (and the SQL oracle) must NOT
+    assert split_words("a\xa0b") == ["a\xa0b"]
+    assert "a\xa0b".split() == ["a", "b"]  # the trap being avoided
+
 
 
 def test_pack_bpe_tokens_end_to_end(text_df, trained):

@@ -303,3 +303,29 @@ def test_bpe_packing_stage(spark):
     assert sum(r["token_end"] - r["token_start"] for r in srows) == total
     assert "bpe" in report.secs
     clean.unpersist()
+
+
+def test_bpe_without_packing_still_tokenizes(spark):
+    """--no-pack + bpe_vocab_size: survivors gain token_ids and the
+    tokenizer artifact is produced even though no slices are built."""
+    docs = spark.createDataFrame(
+        [(1, "spark join shuffle"), (2, "lower the partition count")],
+        ["doc_id", "content"],
+    )
+    clean, slices, report = prepare_training_data(
+        docs,
+        lang=None,
+        min_quality=None,
+        exact=False,
+        minhash_threshold=None,
+        bpe_vocab_size=50,
+        pack_budget=None,
+    )
+    assert slices is None
+    assert report.tokenizer is not None
+    rows = clean.orderBy("doc_id").collect()
+    assert all(
+        list(r["token_ids"]) == report.tokenizer.encode_str(r["content"])
+        for r in rows
+    )
+    clean.unpersist()

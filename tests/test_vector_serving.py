@@ -192,3 +192,17 @@ def test_hybrid_serving_matches_spark_hybrid(spark, tmp_path):
     ).search(q, k=10)
     assert len(fast) == 10
     docs.unpersist()
+
+
+def test_router_probe_everything_dial(saved_vidx):
+    """n_probe >= n_centroids is the exact dial on the single cell AND
+    the Spark path; the router must resolve it to brute force too."""
+    path, dim = saved_vidx
+    single = VectorServing.load(path)
+    router = VectorServingRouter.load(path, n_shards=2)
+    n_cents = single.cents.shape[0]
+    for i in range(3):
+        q = _q(dim, i)
+        assert router.topk(q, k=10, n_probe=n_cents) == single.topk(
+            q, k=10, n_probe=n_cents
+        ) == single.topk(q, k=10, exact=True)
