@@ -451,3 +451,26 @@ def test_prepare_training_data_via_spark_submit(corpus_path, tmp_path):
         f"SELECT count(*) FROM '{out}/slices/*.parquet'"
     ).fetchone()[0]
     assert n_slices == c["slices"] > 0
+
+
+def test_build_vector_index_via_spark_submit(corpus_path, tmp_path):
+    """documents --hash-embed -> saved VectorIndex; the artifact then
+    answers a free-text query through the serving cell."""
+    out = str(tmp_path / "vidx")
+    stdout = _submit(
+        "build_vector_index_job.py",
+        "--input", corpus_path,
+        "--output", out,
+        "--hash-embed", "--id-col", "doc_id",
+        "--n-centroids", "4", "--m", "8",
+    )
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["n_vectors"] == 120 and rep["dim"] == 64
+    assert rep["hash_embed"] is True
+
+    from search_engine_spark.vector_serving import VectorServing
+
+    srv = VectorServing.load(out)
+    got = srv.topk_text("banana recipe", k=5, exact=True)
+    assert len(got) == 5 and got[0][1] > 0
