@@ -287,7 +287,13 @@ class HybridServing:
     (both pools answer in ~1 ms; fusion is a dict walk over <= 2·pool
     entries). With ``exact_sem=True`` the dense pool is brute-force
     (the parity dial vs the Spark operator); default leaves the
-    ANN cell on its IVF-PQ dial for speed."""
+    ANN cell on its IVF-PQ dial for speed.
+
+    Both sides compose with their fleets: ``text`` accepts any
+    ServingIndex — including a term-range ServingRouter — and
+    ``vectors`` any VectorServing-shaped cell, so a fully sharded
+    hybrid fleet is the same three lines (pinned rank-identical in
+    tests)."""
 
     def __init__(
         self,

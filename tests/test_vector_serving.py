@@ -206,3 +206,34 @@ def test_router_probe_everything_dial(saved_vidx):
         assert router.topk(q, k=10, n_probe=n_cents) == single.topk(
             q, k=10, n_probe=n_cents
         ) == single.topk(q, k=10, exact=True)
+
+
+def test_hybrid_serving_fully_sharded(spark, tmp_path):
+    """A sharded hybrid fleet — term-range text router + cluster-range
+    vector router composition — still fuses rank-identically to the
+    single-cell HybridServing."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.serving import ServingIndex, ServingRouter
+    from search_engine_spark.vector_serving import HybridServing
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    tdir, vdir = str(tmp_path / "t"), str(tmp_path / "v")
+    build_index(docs, text_col="text").save(tdir)
+    emb = hash_embed(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    VectorIndex.build(emb, dim=64, n_centroids=4, m=8).save(vdir)
+
+    single = HybridServing(
+        ServingIndex.load(tdir), VectorServing.load(vdir), exact_sem=True
+    )
+    sharded = HybridServing(
+        ServingRouter.load(tdir, n_shards=3),
+        VectorServing.load(vdir),
+        exact_sem=True,
+    )
+    for q in ["hash join partition pruning", "shuffle window aggregate"]:
+        assert sharded.search(q, k=10) == single.search(q, k=10)
+    docs.unpersist()
