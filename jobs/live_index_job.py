@@ -53,6 +53,12 @@ def main() -> None:
         "--edges", default=None,
         help="(src, dst) edge parquet for --refresh-pagerank",
     )
+    ap.add_argument(
+        "--vector-dim", type=int, default=None,
+        help="also maintain a live ANN artifact at <root>/vector_index "
+        "(hashed embeddings of this dim; upsert/CDC-delete aware)",
+    )
+    ap.add_argument("--vector-n-centroids", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -80,6 +86,8 @@ def main() -> None:
         cfg=cfg,
         text_col=args.text_col,
         doc_id_col=args.doc_id_col,
+        vector_dim=args.vector_dim,
+        vector_n_centroids=args.vector_n_centroids,
     )
     gen = live.process_available(
         max_files_per_batch=args.max_files_per_batch

@@ -77,6 +77,9 @@ class StreamingLiveIndex:
         schema=None,
         checkpoint: str | None = None,
         transform=None,
+        vector_dim: int | None = None,
+        vector_n_centroids: int = 8,
+        vector_m: int | None = None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -91,6 +94,18 @@ class StreamingLiveIndex:
         #: DETERMINISTIC: a replayed batch must transform identically
         #: or replay-idempotence (right-wins re-merge == no-op) breaks.
         self.transform = transform
+        #: with ``vector_dim`` set the loop ALSO maintains a live ANN
+        #: artifact at <root>/vector_index: each batch's survivors are
+        #: hash-embedded (operators/embed.py) and UPSERTED (existing
+        #: copies of the delta's ids are compacted out, then the delta
+        #: parquet-appends — so a replayed batch lands value-identical,
+        #: same contract as the text merge); CDC tombstones compact out
+        #: via remove_ids. The first non-empty batch trains the coarse/
+        #: PQ quantizers; the exact dial stays brute-force-identical to
+        #: a one-shot build forever (quantizers only shape recall).
+        self.vector_dim = vector_dim
+        self.vector_n_centroids = vector_n_centroids
+        self.vector_m = vector_m
         self.schema = schema or spark.read.parquet(input_path).schema
         self.checkpoint = checkpoint or os.path.join(
             root, "_stream_checkpoint"
@@ -152,9 +167,72 @@ class StreamingLiveIndex:
             if merged is None:
                 return
             publish_index(merged, self.root)
+            if self.vector_dim:
+                dead_ids = (
+                    [
+                        int(r["doc_id"])
+                        for r in docs_b.where(
+                            F.coalesce(
+                                F.col(self.deleted_col), F.lit(False)
+                            )
+                        )
+                        .select(F.col(self.doc_id_col).alias("doc_id"))
+                        .collect()
+                    ]
+                    if has_cdc
+                    else []
+                )
+                self._update_vectors(alive, dead_ids)
             self.batches_published += 1
         finally:
             docs_b.unpersist()
+
+    @property
+    def vector_index_path(self) -> str:
+        return os.path.join(self.root, "vector_index")
+
+    def _update_vectors(self, alive: DataFrame, dead_ids: list) -> None:
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators.embed import hash_embed
+        from search_engine_spark.operators.vector_index import VectorIndex
+
+        vdir = self.vector_index_path
+        emb = hash_embed(
+            alive,
+            dim=self.vector_dim,
+            text_col=self.text_col,
+            id_col=self.doc_id_col,
+        ).withColumnRenamed(self.doc_id_col, "vec_id")
+        exists = os.path.exists(os.path.join(vdir, "meta"))
+        if not exists:
+            if emb.head(1):
+                VectorIndex.build(
+                    emb,
+                    dim=self.vector_dim,
+                    n_centroids=self.vector_n_centroids,
+                    m=self.vector_m,
+                ).save(vdir)
+            return
+        if emb.head(1):
+            cur = VectorIndex.load(self.spark, vdir)
+            # upsert: a replayed batch (or a CDC re-insert) first
+            # compacts out the delta ids it already holds
+            stale = [
+                int(r["vec_id"])
+                for r in cur.vectors.join(
+                    F.broadcast(emb.select("vec_id")), "vec_id",
+                    "left_semi",
+                )
+                .select("vec_id")
+                .collect()
+            ]
+            if stale:
+                VectorIndex.remove_ids(self.spark, vdir, stale)
+            VectorIndex.append_to(self.spark, vdir, emb)
+        if dead_ids and os.path.exists(os.path.join(vdir, "meta")):
+            # remove_ids tolerates unknown ids (no-op on a miss)
+            VectorIndex.remove_ids(self.spark, vdir, dead_ids)
 
     def refresh_pagerank(
         self,

@@ -269,3 +269,68 @@ def test_hygiene_transform_hook(spark, tmp_path):
 
     scrub_terms = query_stems("EMAIL")
     assert scrub_terms and all(t in terms for t in scrub_terms)
+
+
+def test_live_vector_index_tracks_the_stream(spark, tmp_path):
+    """vector_dim set: the loop maintains <root>/vector_index across
+    waves (upserts replace, never duplicate) and CDC deletes; the
+    exact dial equals a one-shot build over the live corpus (brute
+    force ignores the quantizers, so identity holds even though they
+    were trained on wave 1 only)."""
+    from search_engine_spark.operators.embed import embed_text, hash_embed
+    from search_engine_spark.operators.vector_index import VectorIndex
+    from search_engine_spark.vector_serving import VectorServing
+
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+    generate_corpus(spark, 80, seed=9).write.mode("append").parquet(
+        corpus_dir
+    )
+    live = StreamingLiveIndex(
+        spark, corpus_dir, root, cfg=CFG, vector_dim=32,
+        vector_n_centroids=4,
+    )
+    live.process_available()
+    assert VectorIndex.load(spark, live.vector_index_path).n_vectors == 80
+
+    # wave 2: 40 new docs + 10 UPSERTS of existing ids (changed text)
+    w2 = generate_corpus(spark, 120, seed=9).where(F.col("doc_id") >= 80)
+    upd = generate_corpus(spark, 10, seed=77)  # ids 0..9, new text
+    w2.unionByName(upd).write.mode("append").parquet(corpus_dir)
+    live.process_available()
+    vidx = VectorIndex.load(spark, live.vector_index_path)
+    assert vidx.n_vectors == 120  # upserts replaced, not duplicated
+
+    live_docs = generate_corpus(spark, 120, seed=9).where(
+        F.col("doc_id") >= 10
+    ).unionByName(generate_corpus(spark, 10, seed=77))
+    q = embed_text("banana recipe", 32)
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in VectorIndex.build(
+            hash_embed(live_docs, dim=32, text_col="content")
+            .withColumnRenamed("doc_id", "vec_id"),
+            dim=32, n_centroids=4,
+        ).topk(q, k=10, exact=True).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in vidx.topk(q, k=10, exact=True).collect()
+    ]
+    assert got == want
+
+    # wave 3 (CDC): tombstone ids 0..4 -> their vectors compact out
+    dead = generate_corpus(spark, 5, seed=77).withColumn(
+        "deleted", F.lit(True)
+    )
+    live._handle_batch(dead, 999)
+    vidx = VectorIndex.load(spark, live.vector_index_path)
+    assert vidx.n_vectors == 115
+    remaining = {
+        r["vec_id"] for r in vidx.vectors.select("vec_id").collect()
+    }
+    assert remaining.isdisjoint({0, 1, 2, 3, 4})
+
+    # serving cell answers over the live artifact
+    srv = VectorServing.load(live.vector_index_path)
+    assert len(srv.topk(q, k=5, exact=True)) == 5
