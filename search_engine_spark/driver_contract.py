@@ -2676,8 +2676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "quality": q_quality,
     "token_count": q_token_count,
-    "fingerprint": q_fingerprint,
-    "stratified_sample": q_stratified_sample,
+    "hash_embed_topk": q_hash_embed_topk,
+    "hybrid_topk": q_hybrid_topk,
     "events_recent": q_events_recent,
     "pagerank_fixed_dist": q_pagerank_fixed_dist,
     "lsh_ann_exact": q_lsh_ann_exact,
@@ -2724,8 +2724,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_tokens": q_seq_tokens,
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
-    "hash_embed_topk": q_hash_embed_topk,
-    "hybrid_topk": q_hybrid_topk,
+    # (fingerprint / stratified_sample demoted for the two slots
+    # above — still oracle-checked by test_driver_contract, and the
+    # textstats family keeps langid/quality/token_count in-window)
+    "fingerprint": q_fingerprint,
+    "stratified_sample": q_stratified_sample,
     "suggest_trie": q_suggest_trie,
     "top_terms": q_top_terms,
     "pricing_summary": q_pricing_summary,

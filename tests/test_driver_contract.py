@@ -124,5 +124,7 @@ def test_gate_cap_discipline():
         "decontam",
         "dsir_select",
         "bpe_roundtrip",
+        "hash_embed_topk",
+        "hybrid_topk",
     ):
         assert flagship in first50, flagship
