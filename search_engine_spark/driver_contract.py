@@ -2355,7 +2355,33 @@ def q_hash_embed_topk(spark, sf_dir):
 # embed.hashed_features bit-for-bit. The dot runs sparse (bucket join);
 # Spark's dense unit-vector dot equals dot/(n_d*n_q) exactly in math,
 # and r6 rounding absorbs the float-path difference.
-_SQL_EMBED_CTES = f"""
+def _embed_ctes(weighted: bool = False) -> str:
+    """The sparse hashed-embedding derivation (tokens -> md5
+    bucket/sign -> per-bucket sums -> norms -> dot -> cosine) as CTEs
+    (no leading WITH, composable). ``weighted=True`` adds the
+    bucket-IDF chain — w[b] = ln((N+1)/(df_b+1)), df_b = docs touching
+    bucket b — mirroring embed.fit_bucket_idf; a query bucket no doc
+    touched gets ln(N+1) (df 0), exactly the dense vector's value."""
+    dval = "ds.val * bidf.w AS val" if weighted else "ds.val AS val"
+    qval = (
+        "qs.val * coalesce(bidf.w, ln((SELECT n1 FROM nb))) AS val"
+        if weighted
+        else "qs.val AS val"
+    )
+    bjoin = "JOIN bidf USING (bucket)" if weighted else ""
+    qjoin = "LEFT JOIN bidf USING (bucket)" if weighted else ""
+    idf_ctes = (
+        """
+nb AS (SELECT (SELECT count(*) FROM documents) + 1.0 AS n1),
+bidf AS (
+  SELECT bucket, ln((SELECT n1 FROM nb) / (count(*) + 1.0)) AS w
+  FROM (SELECT DISTINCT doc_id, h % 64 AS bucket FROM dh)
+  GROUP BY bucket
+),"""
+        if weighted
+        else ""
+    )
+    return f"""
 dt AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text),
@@ -2365,13 +2391,15 @@ dt AS (
 ),
 dh AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM dt
-),
-ds AS (
+),{idf_ctes}
+ds0 AS (
   SELECT doc_id, h % 64 AS bucket,
          SUM(CASE WHEN (h // 65536) % 2 = 1
                   THEN 1.0 ELSE -1.0 END) AS val
   FROM dh GROUP BY 1, 2
 ),
+ds AS (SELECT ds.doc_id, ds.bucket, {dval}
+       FROM ds0 AS ds {bjoin}),
 dn AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM ds GROUP BY 1),
 qt AS (
   SELECT unnest(list_filter(regexp_split_to_array(
@@ -2379,12 +2407,13 @@ qt AS (
              t -> t <> '')) AS tok
 ),
 qh AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM qt),
-qs AS (
+qs0 AS (
   SELECT h % 64 AS bucket,
          SUM(CASE WHEN (h // 65536) % 2 = 1
                   THEN 1.0 ELSE -1.0 END) AS val
   FROM qh GROUP BY 1
 ),
+qs AS (SELECT qs.bucket, {qval} FROM qs0 AS qs {qjoin}),
 qn AS (SELECT sqrt(sum(val * val)) AS n FROM qs),
 dots AS (
   SELECT ds.doc_id, SUM(ds.val * qs.val) AS dot
@@ -2402,9 +2431,31 @@ cos AS (
 )
 """
 
+
+_SQL_EMBED_CTES = _embed_ctes()
+
 _SQL_EMBED_PREFIX = "WITH " + _SQL_EMBED_CTES
 
 SQL_HASH_EMBED_TOPK = _SQL_EMBED_PREFIX + f"""
+SELECT doc_id, floor(c * 1e6 + 0.5) / 1e6 AS cosine
+FROM cos ORDER BY c DESC, doc_id LIMIT {EMBED_K}
+"""
+
+
+def q_hash_embed_idf_topk(spark, sf_dir):
+    """IDF-weighted variant: the bucket-IDF vector (one groupBy whose
+    output is bounded by dim, embed.fit_bucket_idf) downweights common
+    tokens on BOTH sides of the cosine; DuckDB re-derives the df-per-
+    bucket chain and the weighted ranking."""
+    from search_engine_spark.operators import embed
+
+    out = embed.semantic_topk(
+        _docs(spark, sf_dir), EMBED_QUERY, k=EMBED_K, idf=True
+    )
+    return out.select("doc_id", _r6(F.col("cosine")).alias("cosine"))
+
+
+SQL_HASH_EMBED_IDF_TOPK = "WITH " + _embed_ctes(weighted=True) + f"""
 SELECT doc_id, floor(c * 1e6 + 0.5) / 1e6 AS cosine
 FROM cos ORDER BY c DESC, doc_id LIMIT {EMBED_K}
 """
@@ -2724,6 +2775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_tokens": q_seq_tokens,
     "temp_mix": q_temp_mix,
     "dsir_weights": q_dsir_weights,
+    "hash_embed_idf_topk": q_hash_embed_idf_topk,
     # (fingerprint / stratified_sample demoted for the two slots
     # above — still oracle-checked by test_driver_contract, and the
     # textstats family keeps langid/quality/token_count in-window)
@@ -2789,6 +2841,7 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "hash_embed_topk": SQL_HASH_EMBED_TOPK,
+    "hash_embed_idf_topk": SQL_HASH_EMBED_IDF_TOPK,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "pagerank_fixed_dist": SQL_PAGERANK_FIXED,

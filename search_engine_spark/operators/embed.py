@@ -67,19 +67,64 @@ def hashed_features(text_col: Column, dim: int = EMBED_DIM) -> Column:
     )
 
 
+def fit_bucket_idf(
+    df: DataFrame,
+    dim: int = EMBED_DIM,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Dense float64 IDF vector over the HASH BUCKETS:
+    ``idf[b] = ln((N + 1) / (df_b + 1))`` where df_b counts documents
+    whose token set touches bucket b. Collisions fold into the weight
+    (two tokens sharing a bucket share a df) — the same estimator
+    tradeoff as DSIR's hashed LMs, and what keeps the statistic
+    bounded by ``dim`` rows at ANY corpus size: one explode +
+    countDistinct groupBy, then a <= dim-row collect."""
+    n_docs = df.count()
+    rows = (
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        hashed_features(F.col(text_col), dim),
+                        lambda e: F.shiftright(e, 1),
+                    )
+                )
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    dfv = np.zeros(dim, dtype=np.float64)
+    for r in rows:
+        dfv[r["bucket"]] = float(r["df"])
+    return np.log((n_docs + 1.0) / (dfv + 1.0))
+
+
 def hash_embed(
     df: DataFrame,
     dim: int = EMBED_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "embedding",
+    idf: np.ndarray | None = None,
 ) -> DataFrame:
     """(id_col, out_col): the L2-normalized signed hashed bag-of-words
     vector per document (all-zero for token-free docs). Hashing is JVM
     column algebra; the dense scatter-add + normalize is one Arrow
-    pass — zero shuffle, zero join (plan-asserted in tests)."""
+    pass — zero shuffle, zero join (plan-asserted in tests).
+
+    Pass ``idf`` (from ``fit_bucket_idf``) to weight each occurrence
+    by its bucket's IDF — common tokens stop dominating the cosine;
+    the vector rides the UDF closure exactly like DSIR's log-ratio
+    vector, so the plan shape is unchanged."""
     if not 1 <= dim <= (1 << _SIGN_SHIFT):
         raise ValueError(f"dim must be in [1, 65536] (got {dim})")
+    w = None
+    if idf is not None:
+        w = np.ascontiguousarray(np.asarray(idf, dtype=np.float64))
+        if w.shape != (dim,):
+            raise ValueError(f"idf must have shape ({dim},), got {w.shape}")
     feats = hashed_features(F.col(text_col), dim)
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
@@ -89,7 +134,9 @@ def hash_embed(
             v = np.zeros(dim, dtype=np.float64)
             if e is not None and len(e):
                 a = np.asarray(e, dtype=np.int64)
-                np.add.at(v, a >> 1, (a & 1) * 2.0 - 1.0)
+                b = a >> 1
+                sign = (a & 1) * 2.0 - 1.0
+                np.add.at(v, b, sign * w[b] if w is not None else sign)
                 n = float(np.sqrt((v * v).sum()))
                 if n > 0.0:
                     v /= n
@@ -101,13 +148,18 @@ def hash_embed(
     )
 
 
-def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
+def embed_text(
+    text: str, dim: int = EMBED_DIM, idf: np.ndarray | None = None
+) -> list[float]:
     """Driver-side twin of ``hash_embed`` for a single string (query
-    embedding) — identical md5 arithmetic, pinned equal in tests."""
+    embedding) — identical md5 arithmetic, pinned equal in tests;
+    pass the same ``idf`` vector used for the corpus side."""
     v = [0.0] * dim
     for t in _py_tokens(text):
         h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
-        v[h % dim] += 1.0 if (h >> _SIGN_SHIFT) & 1 else -1.0
+        b = h % dim
+        s = 1.0 if (h >> _SIGN_SHIFT) & 1 else -1.0
+        v[b] += s * (float(idf[b]) if idf is not None else 1.0)
     n = math.sqrt(sum(x * x for x in v))
     return [x / n for x in v] if n > 0.0 else v
 
@@ -150,12 +202,18 @@ def semantic_topk(
     dim: int = EMBED_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf: bool = False,
 ) -> DataFrame:
     """Free-text similar-document retrieval: embed the corpus (narrow
     Arrow pass), embed the query driver-side, brute cosine top-k
-    (TakeOrderedAndProject). (doc_id, cosine), cos DESC / id ASC."""
-    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
-    return _unit_dot_topk(emb, embed_text(query_text, dim), k, id_col)
+    (TakeOrderedAndProject). (doc_id, cosine), cos DESC / id ASC.
+    ``idf=True`` fits the bucket-IDF first (one bounded groupBy) and
+    weights both sides — common tokens stop dominating."""
+    w = fit_bucket_idf(df, dim=dim, text_col=text_col) if idf else None
+    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
+    return _unit_dot_topk(
+        emb, embed_text(query_text, dim, idf=w), k, id_col
+    )
 
 
 def more_like_this(

@@ -103,3 +103,68 @@ def test_embedding_feeds_vector_index(spark):
     ]
     assert got == brute
     emb.unpersist()
+
+
+def test_bucket_idf_matches_python_oracle(docs):
+    import math
+
+    import numpy as np
+
+    from search_engine_spark.operators.embed import (
+        _py_tokens,
+        fit_bucket_idf,
+    )
+
+    dim = 32
+    got = fit_bucket_idf(docs, dim=dim)
+    rows = docs.select("text").collect()
+    df = [0] * dim
+    import hashlib
+
+    for r in rows:
+        seen = set()
+        for t in _py_tokens(r["text"]):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            seen.add(h % dim)
+        for b in seen:
+            df[b] += 1
+    want = [math.log((len(rows) + 1) / (d + 1)) for d in df]
+    assert np.allclose(got, want)
+
+
+def test_idf_weighted_spark_matches_driver_twin(docs):
+    import numpy as np
+
+    from search_engine_spark.operators.embed import fit_bucket_idf
+
+    w = fit_bucket_idf(docs, dim=32)
+    got = hash_embed(docs, dim=32, idf=w).join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).collect()
+    for r in got:
+        assert np.allclose(
+            list(r["embedding"]), embed_text(r["text"], 32, idf=w)
+        )
+
+
+def test_idf_downweights_ubiquitous_tokens(spark):
+    """'common' appears in every doc; with IDF the query's rare term
+    dominates the ranking, without it the common term can."""
+    rows = [
+        (1, "common rareterm alpha beta"),
+        (2, "common common common common gamma delta"),
+        (3, "common epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_idf = semantic_topk(df, "common rareterm", k=3, idf=True).collect()
+    assert with_idf[0]["doc_id"] == 1  # rare term wins under IDF
+    # sanity: without idf the common-heavy doc competes
+    plain = semantic_topk(df, "common rareterm", k=3).collect()
+    assert {r["doc_id"] for r in plain} == {1, 2, 3}
+
+
+def test_idf_shape_validation(docs):
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        hash_embed(docs, dim=32, idf=np.zeros(16))
