@@ -187,10 +187,18 @@ def train_bpe_from_counts(
         freqs.append(int(c))
         alphabet.update(w)
 
+    # BPE always retains the full base alphabet: silently dropping
+    # chars beyond a sorted prefix would send every word containing a
+    # dropped char to <unk> and make decode lossy (and would flip the
+    # bpe_roundtrip conservation oracle red on a char-rich corpus)
+    if words and vocab_size < len(alphabet) + 1:
+        raise ValueError(
+            f"vocab_size={vocab_size} cannot hold <unk> plus the "
+            f"{len(alphabet)}-symbol base alphabet (need >= "
+            f"{len(alphabet) + 1})"
+        )
     vocab: dict[str, int] = {UNK_TOKEN: UNK_ID}
     for s in sorted(alphabet):
-        if len(vocab) >= vocab_size:
-            break
         vocab[s] = len(vocab)
 
     merges: list[tuple[str, str]] = []

@@ -52,12 +52,20 @@ class VectorIndex:
         cents: list[list[float]],
         dim: int,
         n_vectors: int | None = None,
+        idf: list[float] | None = None,
     ):
         self.vectors = vectors          # vec_id, embedding, cluster, pq_w*
         self.codebooks = codebooks
         self.cents = cents
         self.dim = dim
         self.n_vectors = n_vectors
+        # the bucket-IDF vector the corpus embeddings were built with
+        # (embed.fit_bucket_idf), persisted so QUERY-side embedding
+        # uses the same weighting — an IDF-weighted index served with
+        # an unweighted query is asymmetric cosine, silently skewed
+        self.idf = (
+            [float(x) for x in idf] if idf is not None else None
+        )
 
     # -- build --------------------------------------------------------------
 
@@ -73,10 +81,14 @@ class VectorIndex:
         vec_col: str = "embedding",
         kmeans_iters: int = 3,
         pq_iters: int = 8,
+        idf: list[float] | None = None,
     ) -> "VectorIndex":
         """Train the coarse quantizer (deterministic Lloyd) and the PQ
         codebooks (driver-side on a hash-sample), assign + encode every
-        row — two narrow Arrow passes over the corpus, no shuffle."""
+        row — two narrow Arrow passes over the corpus, no shuffle.
+        Pass ``idf`` when ``emb`` was produced by
+        ``hash_embed(idf=...)`` so text queries against the saved
+        artifact embed with the same bucket weighting."""
         cents = kmeans_centroids(
             emb, dim=dim, n_centroids=n_centroids, iters=kmeans_iters,
             id_col=id_col, vec_col=vec_col,
@@ -88,7 +100,7 @@ class VectorIndex:
         vec = pq_attach(
             ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col), cb,
         )
-        return cls(vec, cb, cents, dim)
+        return cls(vec, cb, cents, dim, idf=idf)
 
     # -- incremental maintenance ---------------------------------------------
 
@@ -116,6 +128,7 @@ class VectorIndex:
             self.codebooks,
             self.cents,
             self.dim,
+            idf=self.idf,
         )
 
     @classmethod
@@ -226,6 +239,7 @@ class VectorIndex:
             "cents": idx.cents,
             "codebooks": idx.codebooks.to_json(),
             "n_vectors": int(n_vectors),
+            "idf": idx.idf,
         }
         local_df(
             spark, [(json.dumps(meta),)], "meta string"
@@ -259,6 +273,7 @@ class VectorIndex:
             [[float(x) for x in c] for c in meta["cents"]],
             int(meta["dim"]),
             n_vectors=int(meta["n_vectors"]),
+            idf=meta.get("idf"),
         )
 
     # -- query ----------------------------------------------------------------
@@ -290,4 +305,15 @@ class VectorIndex:
             codebooks=self.codebooks,
             pool=pool,
             exclude_ids=exclude_ids,
+        )
+
+    def topk_text(self, query_text: str, k: int = 10, **kw) -> DataFrame:
+        """Free-text entry over a hashed-embedding index: embeds the
+        query with the SAME bucket weighting the corpus was built with
+        (the persisted ``idf`` vector, when present) and dispatches to
+        ``topk``."""
+        from search_engine_spark.operators.embed import embed_text
+
+        return self.topk(
+            embed_text(query_text, self.dim, idf=self.idf), k=k, **kw
         )

@@ -227,12 +227,42 @@ class StreamingLiveIndex:
                 .select("vec_id")
                 .collect()
             ]
-            if stale:
-                VectorIndex.remove_ids(self.spark, vdir, stale)
-            VectorIndex.append_to(self.spark, vdir, emb)
+            if stale and len(stale) >= cur.n_vectors:
+                # the replayed batch covers the ENTIRE index (e.g. a
+                # restart replaying the only processed batch after a
+                # crash between publish and checkpoint commit):
+                # remove_ids would empty the index and raise — rebuild
+                # the artifact from the delta with the EXISTING
+                # centroids/codebooks instead, which lands
+                # value-identical by construction
+                from search_engine_spark.operators.similarity import (
+                    ivf_assign,
+                    pq_attach,
+                )
+
+                enc = pq_attach(
+                    ivf_assign(emb, cur.cents), cur.codebooks
+                )
+                VectorIndex(
+                    enc, cur.codebooks, cur.cents, cur.dim, idf=cur.idf
+                ).save(vdir)
+            else:
+                if stale:
+                    VectorIndex.remove_ids(self.spark, vdir, stale)
+                VectorIndex.append_to(self.spark, vdir, emb)
         if dead_ids and os.path.exists(os.path.join(vdir, "meta")):
-            # remove_ids tolerates unknown ids (no-op on a miss)
-            VectorIndex.remove_ids(self.spark, vdir, dead_ids)
+            try:
+                # remove_ids tolerates unknown ids (no-op on a miss)
+                VectorIndex.remove_ids(self.spark, vdir, dead_ids)
+            except ValueError as e:
+                if "delete EVERY vector" not in str(e):
+                    raise
+                # the tombstones covered every remaining vector: an
+                # empty index is unreadable, so drop the artifact —
+                # the next upsert batch rebuilds it from scratch
+                import shutil
+
+                shutil.rmtree(vdir)
 
     def refresh_pagerank(
         self,

@@ -71,6 +71,15 @@ class VectorServing:
         self.cents = np.asarray(meta["cents"], dtype=np.float64)
         self.codebooks = PQCodebooks.from_json(meta["codebooks"])
         self.n_vectors = int(meta["n_vectors"])
+        # bucket-IDF the corpus embeddings were weighted with (None for
+        # unweighted indexes) — topk_text embeds the query with the
+        # SAME weighting, or the cosine is silently asymmetric
+        raw_idf = meta.get("idf")
+        self.idf = (
+            np.asarray(raw_idf, dtype=np.float64)
+            if raw_idf is not None
+            else None
+        )
         dirs = _cluster_dirs(path)
         if clusters is not None:
             dirs = {c: d for c, d in dirs.items() if c in set(clusters)}
@@ -236,24 +245,36 @@ class VectorServing:
         if pool is None:
             pool = max(10 * k, 100)
         if pool >= 1_000_000:
-            return self._brute(q, k, exclude_ids)
+            # the Spark path (ivf_topk -> pq_topk huge-pool dial)
+            # skips the screen but still scans only the PROBED
+            # clusters — mirror that, or the two paths diverge
+            return self._brute(
+                q, k, exclude_ids, clusters=self._probe(q, n_probe)
+            )
         ids, _, probed = self.screen(
             q, pool, n_probe=n_probe, exclude_ids=exclude_ids
         )
         return self.rerank(q, ids, k, clusters=probed)
 
-    def topk_text(self, query_text: str, k: int = 10, **kw):
+    def topk_text(
+        self, query_text: str, k: int = 10, idf=None, **kw
+    ):
         """Free-text entry point over a hashed-embedding index
         (operators/embed.py): embeds the query with the same signed
-        feature hashing and dispatches to ``topk``."""
+        feature hashing — and the same bucket-IDF weighting the index
+        was built with (``meta["idf"]``, overridable via ``idf=``) —
+        and dispatches to ``topk``."""
         from search_engine_spark.operators.embed import embed_text
 
-        return self.topk(embed_text(query_text, self.dim), k=k, **kw)
+        w = idf if idf is not None else self.idf
+        return self.topk(
+            embed_text(query_text, self.dim, idf=w), k=k, **kw
+        )
 
-    def _brute(self, q, k, exclude_ids):
+    def _brute(self, q, k, exclude_ids, clusters=None):
         qn = float(np.linalg.norm(q))
         ids_all, cos_all = [], []
-        for c in self.clusters:
+        for c in self.clusters if clusters is None else clusters:
             d = self._cluster(c)
             denom = d["norms"] * qn
             cos = np.where(
@@ -262,6 +283,8 @@ class VectorServing:
             )
             ids_all.append(d["ids"])
             cos_all.append(cos)
+        if not ids_all:  # a router shard may probe no local cluster
+            return []
         ids = np.concatenate(ids_all)
         cos = np.concatenate(cos_all)
         if exclude_ids:
@@ -363,17 +386,28 @@ class VectorServingRouter:
     ) -> list[tuple[int, float]]:
         q = np.asarray(query_vec, dtype=np.float64)
         n_cents = self.shards[0].cents.shape[0]
-        if (
-            exact
-            or (pool is not None and pool >= 1_000_000)
-            or (n_probe is not None and n_probe >= n_cents)
-        ):
-            # the same dials VectorServing.topk resolves to brute force
-            # must stay brute here too, or rank-identity breaks
+        if exact or (n_probe is not None and n_probe >= n_cents):
+            # the same dials VectorServing.topk resolves to all-cluster
+            # brute force must stay brute here too, or rank-identity
+            # breaks
             merged = [
                 r
                 for s in self.shards
                 for r in s._brute(q, k, exclude_ids)
+            ]
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            return merged[:k]
+        if pool is not None and pool >= 1_000_000:
+            # huge-pool dial = exact cosine over the PROBED clusters
+            # only (the single cell's semantics); each shard's probe is
+            # the global probe list filtered to its clusters, so the
+            # union equals the single node's probed set
+            merged = [
+                r
+                for s in self.shards
+                for r in s._brute(
+                    q, k, exclude_ids, clusters=s._probe(q, n_probe)
+                )
             ]
             merged.sort(key=lambda t: (-t[1], t[0]))
             return merged[:k]
@@ -398,3 +432,16 @@ class VectorServingRouter:
         merged = [r for rs in per_shard for r in rs]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def topk_text(
+        self, query_text: str, k: int = 10, idf=None, **kw
+    ):
+        """Free-text entry: every shard shares the artifact's meta, so
+        the first shard's dim/IDF is the fleet's."""
+        from search_engine_spark.operators.embed import embed_text
+
+        s0 = self.shards[0]
+        w = idf if idf is not None else s0.idf
+        return self.topk(
+            embed_text(query_text, s0.dim, idf=w), k=k, **kw
+        )

@@ -112,6 +112,16 @@ def test_unk_and_empty():
     assert ids and all(i == UNK_ID for i in ids[:-1])
 
 
+def test_vocab_too_small_for_alphabet_raises():
+    # the alphabet is never truncated: a vocab that cannot hold <unk>
+    # plus every base symbol would make decode lossy, so it raises
+    alpha = {c for w, _ in COUNTS for c in w} | {END_WORD}
+    with pytest.raises(ValueError, match="base alphabet"):
+        train_bpe_from_counts(COUNTS, vocab_size=len(alpha))
+    tok = train_bpe_from_counts(COUNTS, vocab_size=len(alpha) + 1)
+    assert len(tok.vocab) == len(alpha) + 1
+
+
 def test_json_roundtrip(tmp_path):
     tok = train_bpe_from_counts(COUNTS, vocab_size=40)
     p = str(tmp_path / "tok.json")

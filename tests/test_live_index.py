@@ -334,3 +334,54 @@ def test_live_vector_index_tracks_the_stream(spark, tmp_path):
     # serving cell answers over the live artifact
     srv = VectorServing.load(live.vector_index_path)
     assert len(srv.topk(q, k=5, exact=True)) == 5
+
+
+def test_live_vector_full_replay_and_total_tombstones(spark, tmp_path):
+    """Replay edge cases of the live vector index: (1) the SOLE
+    processed batch replayed after a crash (stale ids == the entire
+    index — remove_ids would raise) must land value-identical via the
+    rebuild-with-existing-quantizers path; (2) tombstones covering
+    every remaining vector drop the artifact instead of raising, and
+    the next upsert wave rebuilds it from scratch."""
+    import os
+
+    from search_engine_spark.operators.embed import embed_text
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+    base = generate_corpus(spark, 60, seed=4).cache()
+    base.write.mode("append").parquet(corpus_dir)
+    live = StreamingLiveIndex(
+        spark, corpus_dir, root, cfg=CFG, vector_dim=16,
+        vector_n_centroids=4,
+    )
+    live.process_available()
+    vdir = live.vector_index_path
+    q = embed_text("banana recipe", 16)
+
+    def exact_topk():
+        return [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in VectorIndex.load(spark, vdir)
+            .topk(q, k=10, exact=True)
+            .collect()
+        ]
+
+    want = exact_topk()
+    assert VectorIndex.load(spark, vdir).n_vectors == 60
+
+    # (1) full-overlap replay: every delta id is already in the index
+    live._handle_batch(base, 10_001)
+    assert VectorIndex.load(spark, vdir).n_vectors == 60
+    assert exact_topk() == want
+
+    # (2) tombstones cover EVERY vector -> artifact dropped, not raised
+    live._update_vectors(
+        base.where(F.lit(False)), dead_ids=list(range(60))
+    )
+    assert not os.path.exists(os.path.join(vdir, "meta"))
+
+    # the next upsert wave rebuilds the artifact from scratch
+    live._update_vectors(base.where(F.col("doc_id") < 20), dead_ids=[])
+    assert VectorIndex.load(spark, vdir).n_vectors == 20

@@ -194,6 +194,85 @@ def test_hybrid_serving_matches_spark_hybrid(spark, tmp_path):
     docs.unpersist()
 
 
+def test_huge_pool_dial_rank_identical(spark_idx, saved_vidx):
+    """pool >= 1e6 skips the PQ screen but must still scan ONLY the
+    probed clusters — exactly what the Spark path (ivf_topk ->
+    pq_topk's huge-pool branch) does. Cell and router must both match
+    it, including at a narrow probe where the dial visibly differs
+    from all-cluster brute force."""
+    path, dim = saved_vidx
+    single = VectorServing.load(path)
+    router = VectorServingRouter.load(path, n_shards=2)
+    for i in range(3):
+        q = _q(dim, i)
+        for n_probe in (None, 2):
+            want = [
+                (r["vec_id"], r["cosine"])
+                for r in spark_idx.topk(
+                    q, k=10, pool=10_000_000, n_probe=n_probe
+                ).collect()
+            ]
+            got = single.topk(q, k=10, pool=10_000_000, n_probe=n_probe)
+            assert [g[0] for g in got] == [w[0] for w in want]
+            for g, w in zip(got, want):
+                assert g[1] == pytest.approx(w[1], rel=1e-9)
+            assert router.topk(
+                q, k=10, pool=10_000_000, n_probe=n_probe
+            ) == got
+
+
+def test_idf_vector_round_trips_through_the_artifact(spark, tmp_path):
+    """An index built from IDF-weighted hashed embeddings persists the
+    bucket-IDF vector; topk_text on BOTH the Spark artifact and the
+    serving cell/router embeds the query with that SAME weighting (an
+    unweighted query against a weighted corpus is asymmetric cosine)."""
+    import numpy as np
+
+    from search_engine_spark.operators.embed import fit_bucket_idf
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).cache()
+    w = fit_bucket_idf(docs, dim=64)
+    emb = hash_embed(docs, dim=64, idf=w).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    path = str(tmp_path / "widx")
+    VectorIndex.build(
+        emb, dim=64, n_centroids=4, m=8, idf=list(w)
+    ).save(path)
+    docs.unpersist()
+
+    vidx = VectorIndex.load(spark, path)
+    assert vidx.idf is not None
+    assert np.allclose(np.asarray(vidx.idf), w)
+    srv = VectorServing.load(path)
+    assert srv.idf is not None and np.allclose(srv.idf, w)
+
+    query = "hash join partition pruning"
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in vidx.topk(
+            embed_text(query, 64, idf=w), k=10, exact=True
+        ).collect()
+    ]
+    got_spark = [
+        (r["vec_id"], r["cosine"])
+        for r in vidx.topk_text(query, k=10, exact=True).collect()
+    ]
+    assert got_spark == want
+    got = srv.topk_text(query, k=10, exact=True)
+    assert [g[0] for g in got] == [x[0] for x in want]
+    for g, x in zip(got, want):
+        assert g[1] == pytest.approx(x[1], rel=1e-9)
+    router = VectorServingRouter.load(path, n_shards=2)
+    assert router.topk_text(query, k=10, exact=True) == got
+    # the weighting is not a no-op: the unweighted query ranks
+    # differently somewhere in the top-10 (or scores differ)
+    unweighted = srv.topk(embed_text(query, 64), k=10, exact=True)
+    assert unweighted != got
+
+
 def test_router_probe_everything_dial(saved_vidx):
     """n_probe >= n_centroids is the exact dial on the single cell AND
     the Spark path; the router must resolve it to brute force too."""
