@@ -195,24 +195,83 @@ def _unit_dot_topk(
     return df.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _resolve_idf_weight(idf, df, dim, text_col, reuse) -> np.ndarray | None:
+    """Normalize the ``idf`` dial shared by the retrieval entry points:
+    False/None -> unweighted; an array -> use it verbatim (the caller
+    states what the corpus side was built with); True -> fit from the
+    corpus — only legal when the corpus is being embedded inline
+    (``reuse`` names the precomputed argument otherwise: fitting a NEW
+    weighting for the query against an already-weighted corpus would
+    be exactly the asymmetric-cosine bug this dial exists to avoid)."""
+    if idf is None or idf is False:
+        return None
+    if idf is True:
+        if reuse is not None:
+            raise ValueError(
+                f"idf=True refits from the corpus, but {reuse}= supplies "
+                "precomputed embeddings — pass the idf VECTOR they were "
+                "built with instead (or rely on the VectorIndex's "
+                "persisted one)"
+            )
+        return fit_bucket_idf(df, dim=dim, text_col=text_col)
+    return np.asarray(idf, dtype=np.float64)
+
+
 def semantic_topk(
-    df: DataFrame,
+    df: DataFrame | None,
     query_text: str,
     k: int = 10,
     dim: int = EMBED_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
-    idf: bool = False,
+    idf=False,
+    emb: DataFrame | None = None,
+    vindex=None,
+    exact: bool = True,
 ) -> DataFrame:
-    """Free-text similar-document retrieval: embed the corpus (narrow
-    Arrow pass), embed the query driver-side, brute cosine top-k
-    (TakeOrderedAndProject). (doc_id, cosine), cos DESC / id ASC.
-    ``idf=True`` fits the bucket-IDF first (one bounded groupBy) and
-    weights both sides — common tokens stop dominating."""
-    w = fit_bucket_idf(df, dim=dim, text_col=text_col) if idf else None
-    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
+    """Free-text similar-document retrieval. (doc_id, cosine), cos
+    DESC / id ASC. ``idf=True`` fits the bucket-IDF first (one bounded
+    groupBy) and weights both sides; pass the fitted VECTOR instead
+    when the corpus side is precomputed.
+
+    The corpus embedding is QUERY-INDEPENDENT, so repeated queries
+    should not pay a full-corpus Arrow pass each (at 100 TB that scan
+    is the dominant cost) — the same artifact-reuse story as
+    ``search(idx, ...)``:
+
+      * ``emb=``    — a precomputed ``hash_embed`` frame
+                      (id_col, embedding); persist or save it once,
+                      query it Q times.
+      * ``vindex=`` — a (saved) ``VectorIndex``; ``exact=True`` (the
+                      default) is the brute-cosine dial == the inline
+                      path, ``exact=False`` takes the IVF-PQ probe.
+                      The index's persisted IDF weighting is applied
+                      to the query automatically.
+      * neither     — embeds ``df`` inline (one narrow Arrow pass):
+                      right for a single ad-hoc query."""
+    w = _resolve_idf_weight(
+        idf, df, dim, text_col,
+        reuse="emb" if emb is not None else
+        ("vindex" if vindex is not None else None),
+    )
+    if vindex is not None:
+        qv = embed_text(
+            query_text, vindex.dim,
+            idf=w if w is not None else vindex.idf,
+        )
+        out = vindex.topk(qv, k=k, exact=exact)
+        return (
+            out.withColumnRenamed("vec_id", id_col)
+            if id_col != "vec_id"
+            else out
+        )
+    corpus = (
+        emb
+        if emb is not None
+        else hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
+    )
     return _unit_dot_topk(
-        emb, embed_text(query_text, dim, idf=w), k, id_col
+        corpus, embed_text(query_text, dim, idf=w), k, id_col
     )
 
 
@@ -223,17 +282,43 @@ def more_like_this(
     dim: int = EMBED_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf=False,
+    emb: DataFrame | None = None,
+    vindex=None,
+    exact: bool = True,
 ) -> DataFrame:
     """Top-k documents most similar to ``doc_id`` (itself excluded):
-    the anchor's text is fetched (one pruned scan), embedded
-    driver-side, and brute-cosined against the corpus embedding."""
+    the anchor's text is fetched from ``df`` (one pruned scan),
+    embedded driver-side, and cosined against the corpus embedding —
+    inline by default, or reused via ``emb=`` / ``vindex=`` exactly as
+    in ``semantic_topk`` (``df`` still supplies the anchor text)."""
     anchor = (
         df.where(F.col(id_col) == doc_id).select(text_col).limit(1).collect()
     )
     if not anchor:
         raise KeyError(f"{id_col}={doc_id!r} not found")
-    emb = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    w = _resolve_idf_weight(
+        idf, df, dim, text_col,
+        reuse="emb" if emb is not None else
+        ("vindex" if vindex is not None else None),
+    )
+    if vindex is not None:
+        qv = embed_text(
+            anchor[0][0], vindex.dim,
+            idf=w if w is not None else vindex.idf,
+        )
+        out = vindex.topk(qv, k=k, exact=exact, exclude_ids=[doc_id])
+        return (
+            out.withColumnRenamed("vec_id", id_col)
+            if id_col != "vec_id"
+            else out
+        )
+    corpus = (
+        emb
+        if emb is not None
+        else hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
+    )
     return _unit_dot_topk(
-        emb, embed_text(anchor[0][0], dim), k, id_col,
+        corpus, embed_text(anchor[0][0], dim, idf=w), k, id_col,
         exclude_ids=[doc_id],
     )

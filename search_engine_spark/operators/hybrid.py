@@ -91,13 +91,24 @@ def hybrid_topk(
     dim: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf=False,
+    emb: DataFrame | None = None,
+    vindex=None,
+    exact: bool = True,
 ) -> DataFrame:
     """(doc_id, rrf_score): BM25 top-``pool`` over ``idx`` fused with
     hashed-embedding cosine top-``pool`` over ``docs`` for the same
     free-text query. The lexical side sees the index's analyzer
     (stemming, stopwords — quirk Q3 semantics via ``search``); the
     dense side sees surface tokens — fusing the two views is the point
-    (lexical precision + sign-hash recall of vocabulary overlap)."""
+    (lexical precision + sign-hash recall of vocabulary overlap).
+
+    The lexical side already reuses a built artifact (``idx``); give
+    the dense side the same treatment for repeated queries by passing
+    ``emb=`` (a precomputed ``hash_embed`` frame) or ``vindex=`` (a
+    saved ``VectorIndex``) through to ``semantic_topk`` — otherwise
+    every call pays a full-corpus embedding scan for a
+    query-independent column."""
     from search_engine_spark.operators.embed import (
         EMBED_DIM,
         semantic_topk,
@@ -108,6 +119,7 @@ def hybrid_topk(
     sem = semantic_topk(
         docs, query_text, k=pool,
         dim=dim or EMBED_DIM, text_col=text_col, id_col=id_col,
+        idf=idf, emb=emb, vindex=vindex, exact=exact,
     )
     return rrf_fuse(
         [

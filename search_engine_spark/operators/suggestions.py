@@ -93,12 +93,30 @@ class Trie:
         return [w for w, _ in node.top]
 
 
-def trie_from_terms(term_stats: DataFrame) -> Trie:
+def trie_from_terms(
+    term_stats: DataFrame, max_terms: int = 1_000_000
+) -> Trie:
     """Build the U2 trie from the term_stats table (term, df): frequency
-    = document frequency. collect() is deliberate — the vocabulary is
-    orders of magnitude smaller than the corpus."""
+    = document frequency. The collect() is deliberate — the reference's
+    trie is an in-memory structure — but it is BOUNDED: only the
+    ``max_terms`` highest-df terms (df DESC, term ASC — deterministic)
+    are collected, planned as TakeOrderedAndProject. A natural-language
+    vocabulary is Zipf-bounded well under the default, so sf-scale
+    builds see every term; a 100-TB code corpus's heavy-tailed
+    identifier vocabulary (easily 10^8 distinct terms) gets the top
+    1M — which already dominates every top-10-by-frequency answer the
+    trie can return for prefixes whose hits reach the cut. Raise
+    ``max_terms`` explicitly to trade driver memory for tail-prefix
+    coverage; the fully-distributed path (``prefix_suggest``,
+    ``fuzzy_suggest``) has no such bound."""
     t = Trie()
-    for r in term_stats.select("term", "df").collect():
+    rows = (
+        term_stats.select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_terms)
+        .collect()
+    )
+    for r in rows:
         t.insert(r["term"], int(r["df"]))
     return t
 

@@ -168,3 +168,71 @@ def test_idf_shape_validation(docs):
 
     with pytest.raises(ValueError):
         hash_embed(docs, dim=32, idf=np.zeros(16))
+
+
+def test_precomputed_emb_and_vindex_match_inline(spark, tmp_path):
+    """The corpus embedding is query-independent, so the reuse paths
+    (emb= precomputed frame; vindex= saved artifact on the exact dial)
+    must return the SAME ranking and scores as the inline embed —
+    unweighted and IDF-weighted both."""
+    from search_engine_spark.operators.embed import fit_bucket_idf
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).cache()
+    q = "hash join partition pruning"
+
+    def rows(df):
+        return [
+            (r["doc_id"], round(r["cosine"], 9)) for r in df.collect()
+        ]
+
+    for weighted in (False, True):
+        w = fit_bucket_idf(docs, dim=64) if weighted else None
+        emb = hash_embed(docs, dim=64, idf=w).cache()
+        path = str(tmp_path / f"vx{int(weighted)}")
+        VectorIndex.build(
+            emb.withColumnRenamed("doc_id", "vec_id"),
+            dim=64, n_centroids=4, m=8,
+            idf=list(w) if weighted else None,
+        ).save(path)
+        vindex = VectorIndex.load(spark, path)
+
+        inline = rows(
+            semantic_topk(docs, q, k=10, dim=64, idf=w if weighted else False)
+        )
+        pre = rows(
+            semantic_topk(
+                None, q, k=10, dim=64, emb=emb,
+                idf=w if weighted else False,
+            )
+        )
+        via_index = rows(semantic_topk(None, q, k=10, vindex=vindex))
+        assert pre == inline
+        assert via_index == inline
+        emb.unpersist()
+
+    # more_like_this: same three paths agree (df still supplies anchor)
+    emb = hash_embed(docs, dim=64).cache()
+    vindex = VectorIndex.load(spark, str(tmp_path / "vx0"))
+    anchor = docs.first()["doc_id"]
+    inline = rows(more_like_this(docs, anchor, k=10, dim=64))
+    assert rows(more_like_this(docs, anchor, k=10, dim=64, emb=emb)) == inline
+    assert rows(more_like_this(docs, anchor, k=10, vindex=vindex)) == inline
+    emb.unpersist()
+    docs.unpersist()
+
+
+def test_idf_true_with_precomputed_corpus_raises(spark, docs):
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    emb = hash_embed(docs, dim=32)
+    with pytest.raises(ValueError, match="emb="):
+        semantic_topk(docs, "spark", emb=emb, idf=True, dim=32)
+    vindex = VectorIndex.build(
+        emb.withColumnRenamed("doc_id", "vec_id"), dim=32,
+        n_centroids=2, m=4,
+    )
+    with pytest.raises(ValueError, match="vindex="):
+        semantic_topk(docs, "spark", vindex=vindex, idf=True, dim=32)

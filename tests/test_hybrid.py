@@ -85,3 +85,41 @@ def test_hybrid_topk_matches_recomputed_pools(spark):
     both = [d for d in want if d in lex and d in sem]
     assert both, "fixture query should have lexical+semantic overlap"
     docs.unpersist()
+
+def test_hybrid_reuse_paths_match_inline(spark, tmp_path):
+    """hybrid_topk(emb=) and hybrid_topk(vindex=, exact dial) must
+    fuse to the SAME order and scores as the inline-embed call — the
+    repeated-query path pays one corpus embed, not Q."""
+    from search_engine_spark.operators.embed import hash_embed
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    idx = build_index(docs, text_col="text")
+    emb = hash_embed(docs, dim=64).cache()
+    path = str(tmp_path / "vx")
+    VectorIndex.build(
+        emb.withColumnRenamed("doc_id", "vec_id"), dim=64,
+        n_centroids=4, m=8,
+    ).save(path)
+    vindex = VectorIndex.load(spark, path)
+
+    def rows(df):
+        return [
+            (r["doc_id"], round(r["rrf_score"], 12)) for r in df.collect()
+        ]
+
+    for q in ("hash join partition pruning", "window aggregate scan"):
+        inline = rows(hybrid_topk(idx, docs, q, k=10, pool=50))
+        assert rows(
+            hybrid_topk(idx, docs, q, k=10, pool=50, emb=emb)
+        ) == inline
+        assert rows(
+            hybrid_topk(idx, docs, q, k=10, pool=50, vindex=vindex)
+        ) == inline
+    emb.unpersist()
+    docs.unpersist()

@@ -98,6 +98,47 @@ def test_trie_topk_and_update():
     assert t.suggest("ban") == ["banana", "band", "bandit"]
 
 
+def test_trie_build_is_bounded_by_max_terms(spark, spark_index):
+    """The driver-side trie collect is capped at the max_terms
+    highest-df terms (a 100-TB identifier vocabulary would otherwise
+    kill the driver); under the cap the build equals the unbounded
+    one, and over an oversized synthetic vocabulary only the top
+    max_terms rows land in the trie."""
+    from search_engine_spark.operators.suggestions import trie_from_terms
+
+    # (a huge limit is NOT "unbounded": TakeOrdered sizes its heap by
+    # the limit — the same reason pq_topk's 1e6 dial skips the screen —
+    # so the parity dial is simply a cap the vocabulary fits under)
+    full = trie_from_terms(spark_index.term_stats)
+    capped = trie_from_terms(spark_index.term_stats, max_terms=50_000)
+    for p in ("b", "ba", "re", "s", ""):
+        assert capped.suggest(p) == full.suggest(p)
+
+    # oversized vocabulary: 5k synthetic terms, cap at 100 -> only the
+    # 100 highest-df terms are inserted (df DESC, term ASC ties)
+    vocab = spark.createDataFrame(
+        [(f"t{i:05d}", (i * 7) % 500 + 1) for i in range(5_000)],
+        "term string, df long",
+    )
+    t = trie_from_terms(vocab, max_terms=100)
+    inserted = set()
+
+    def walk(node):
+        for w, _f in node.top:
+            inserted.add(w)
+        for ch in node.children.values():
+            walk(ch)
+
+    walk(t)
+    rows = vocab.orderBy(F.desc("df"), F.asc("term")).limit(100).collect()
+    want = {r["term"] for r in rows}
+    # every inserted word is in the cut (the trie may drop low-freq
+    # cut members from interior top-10 lists, never add outsiders)
+    assert inserted <= want
+    top = max(rows, key=lambda r: (r["df"], r["term"]))
+    assert t.suggest(top["term"][:3])  # cut members are reachable
+
+
 def test_total_count_and_metadata(spark, spark_index, corpus_df):
     from search_engine_spark.operators.query import (
         attach_doc_metadata,
