@@ -1893,25 +1893,67 @@ FROM documents
 
 
 def q_media_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary media (rows-only:
-    the stub feature vector is seeded-RNG, not SQL-expressible).
-    Exploded to (doc_id, dim_idx, value) scalar rows — the driver's
-    canonicalizer sorts row values, and array<float> cells are
-    unhashable in pandas (the round-1 red row)."""
+    """REAL image decode -> feature extraction, hash-checked end to
+    end: every doc gets an actual 24-bit BMP (deterministic LCG pixel
+    grid, ``attach_fake_bmp``), ``image_features`` decodes it with the
+    stdlib codec (bottom-up rows, BGR, 4-byte padding) and emits 8
+    exact-integer-moment dims (channel means/variances + dims). The
+    DuckDB oracle REGENERATES the pixel grid from the formula and
+    re-derives the same moments — so a decoder that misreads row
+    order, channel order, or padding mismatches immediately. Every
+    feature is one IEEE division of exact int64 moments: bit-identical
+    across engines, no rounding needed. Exploded to scalar rows
+    (array cells are unhashable in pandas — the round-1 red row)."""
     from search_engine_spark.operators.multimodal import (
-        attach_fake_media,
-        extract_features,
+        attach_fake_bmp,
+        image_features,
     )
 
-    media = attach_fake_media(_docs(spark, sf_dir))
-    feats = extract_features(media, dim=16)
+    media = attach_fake_bmp(_docs(spark, sf_dir))
+    feats = image_features(media)
     return feats.select(
         "doc_id", F.posexplode("features").alias("dim_idx", "value")
-    ).select(
-        "doc_id",
-        "dim_idx",
-        F.round(F.col("value").cast("double"), 6).alias("value"),
-    )
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+             "value")
+
+
+# the oracle never touches the BMP bytes: it rebuilds the pixel grid
+# the generator encoded (multimodal.fake_bmp_pixels) and derives the
+# moments relationally — decode errors cannot cancel out
+SQL_MEDIA_FEATURES = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS i,
+         (16 + (doc_id % 4) * 8)::BIGINT AS w,
+         (16 + (doc_id % 3) * 8)::BIGINT AS h
+  FROM documents
+),
+px AS (
+  SELECT d.i, d.w, d.h,
+    (7*d.i + 3*ux.x + 5*uy.y) % 256 AS r,
+    (11*d.i + ux.x + 2*uy.y) % 256 AS g,
+    (13*d.i + 4*ux.x + uy.y) % 256 AS b
+  FROM d,
+       UNNEST(generate_series(0, d.w - 1)) ux(x),
+       UNNEST(generate_series(0, d.h - 1)) uy(y)
+),
+agg AS (
+  SELECT i, w, h, count(*)::BIGINT AS n,
+    sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb,
+    sum(r*r)::BIGINT AS qr, sum(g*g)::BIGINT AS qg, sum(b*b)::BIGINT AS qb
+  FROM px GROUP BY i, w, h
+),
+f AS (
+  SELECT i AS doc_id, 8 AS nd, [
+    sr::DOUBLE / (n*255), sg::DOUBLE / (n*255), sb::DOUBLE / (n*255),
+    (n*qr - sr*sr)::DOUBLE / (n*n*255*255),
+    (n*qg - sg*sg)::DOUBLE / (n*n*255*255),
+    (n*qb - sb*sb)::DOUBLE / (n*n*255*255),
+    w::DOUBLE / 256, h::DOUBLE / 256
+  ] AS fv FROM agg
+)
+SELECT doc_id, (u.k - 1)::BIGINT AS dim_idx, fv[u.k] AS value
+FROM f, UNNEST(generate_series(1, nd)) u(k)
+"""
 
 
 def q_decontam(spark, sf_dir):
@@ -2859,6 +2901,7 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "media_stats": SQL_MEDIA_STATS,
     "sample_frames": SQL_SAMPLE_FRAMES,
+    "media_features": SQL_MEDIA_FEATURES,
     "snippets": SQL_SNIPPETS,
     "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -4,10 +4,13 @@ Design for a 100 TB training-data pipeline: media rides as an opaque
 ``binary`` column next to typed metadata (mime, width/height, duration),
 exactly like Parquet/Iceberg store it in production. All engine-side
 plumbing — schemas, partition sizing, Arrow batch shape, mapInPandas
-signatures — is real and tested; only the *codec* innards (JPEG decode,
-resampling) are stubbed behind ``_decode_*`` seams because this
-container ships no image/audio libraries. Swap the seam for
-PIL/torchaudio on a real cluster; nothing else changes.
+signatures — is real and tested. ONE codec is fully real in pure
+stdlib+numpy: 24-bit uncompressed BMP (``encode_bmp``/``decode_bmp``),
+driving real feature extraction (``image_features`` — exact integer
+pixel moments) and real nearest-neighbor resize. JPEG/PNG/audio decode
+remain stubbed behind the ``_decode_*`` seams because this container
+ships no image/audio libraries — swap the seam for PIL/torchaudio on a
+real cluster; nothing else changes.
 
 Operators:
   * attach_fake_media   — deterministic synthetic binary payloads (seeded
@@ -112,25 +115,208 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# codec seams — STUBS (no image/audio libs in this container).
-# Replace with PIL / torchaudio / ffmpeg on a real cluster.
+# REAL codec: 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB) in
+# pure stdlib struct + numpy — no image library needed. This is the
+# one fully-real decode path; JPEG/PNG/audio remain documented seams
+# (swap for PIL/torchaudio on a real cluster; the Spark-side plumbing
+# is identical).
+# --------------------------------------------------------------------------
+
+import struct
+
+_BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB (row 0 = TOP) -> 24-bit BI_RGB BMP bytes:
+    bottom-up row order, BGR channel order, rows padded to 4 bytes —
+    the classic Windows V3 layout every viewer reads."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {px.shape}")
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_SIZE + img_size, 0, 0,
+        _BMP_HEADER_SIZE,
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_raw] = px[::-1, :, ::-1].reshape(h, row_raw)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB, row 0 = TOP
+    (inverts encode_bmp exactly; byte-roundtrip pinned in tests)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_sz < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BITMAPINFOHEADER BMPs are "
+            f"decoded here (header={hdr_sz}, bpp={bpp}, "
+            f"compression={compression}) — other variants are the "
+            f"documented codec seam"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    body = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, :row_raw]
+    px = body.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(px if top_down else px[::-1])
+
+
+def fake_bmp_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic pixel grid — linear congruential per
+    channel, chosen so a SQL engine can re-derive every pixel (the
+    media_features gate oracle regenerates this grid in DuckDB):
+    R=(7i+3x+5y)%256, G=(11i+x+2y)%256, B=(13i+4x+y)%256 with x the
+    column and y the row FROM THE TOP."""
+    i = int(doc_id)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (7 * i + 3 * x + 5 * y) % 256
+    g = (11 * i + x + 2 * y) % 256
+    b = (13 * i + 4 * x + y) % 256
+    return np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def attach_fake_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-format synthetic media: every row gets an actual 24-bit
+    BMP (encode_bmp over the deterministic fake_bmp_pixels grid) with
+    id-derived dims w in {16,24,32,40}, h in {16,24,32}. mapInPandas —
+    binary payload construction is genuinely Python work, unlike
+    attach_fake_media's column-algebra keystream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+                out.append(
+                    (i, encode_bmp(fake_bmp_pixels(i, w, h)),
+                     "image/bmp", w, h)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "mime", "width", "height"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+IMAGE_FEATURE_DIM = 8
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    """REAL feature vector from a decoded BMP — 8 dims, every one a
+    single IEEE division of EXACT int64 moments (so any engine that
+    sums the same pixels lands on the bit-identical double):
+    [mean_R, mean_G, mean_B] / 255, population-variance
+    [(n·Σc² − (Σc)²) / (n²·255²)] per channel, w/256, h/256."""
+    px = decode_bmp(payload).astype(np.int64)
+    h, w, _ = px.shape
+    n = h * w
+    out = []
+    sums = px.reshape(-1, 3).sum(axis=0)
+    sqs = (px.reshape(-1, 3) ** 2).sum(axis=0)
+    for c in range(3):
+        out.append(float(sums[c]) / float(n * 255))
+    for c in range(3):
+        out.append(
+            float(n * int(sqs[c]) - int(sums[c]) ** 2)
+            / float(n * n * 255 * 255)
+        )
+    out.append(w / 256.0)
+    out.append(h / 256.0)
+    return out
+
+
+def image_features(
+    df: DataFrame, rows_per_batch: int = 512
+) -> DataFrame:
+    """(doc_id, features: array<double>[8]) over REAL BMP payloads via
+    mapInPandas — the fully-real decode path (non-BMP rows raise; run
+    it behind a mime/magic filter in mixed corpora). float64 so the
+    exact-integer-moment arithmetic survives to the output."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "features": [
+                        _bmp_features(p) for p in pdf["media"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# codec seams — STUBS for formats with no decoder in this container
+# (JPEG/PNG/audio). Replace with PIL / torchaudio / ffmpeg on a real
+# cluster; BMP rows take the REAL path above.
 # --------------------------------------------------------------------------
 
 def _decode_features(payload: bytes, dim: int) -> np.ndarray:
-    """STUB feature extractor: deterministic unit vector from the
-    payload's sha256. A real deployment decodes the media and runs a
-    model; the Spark-side contract (bytes in, float32[dim] out) is
-    identical."""
+    """Feature extractor behind ``extract_features``: REAL for BMP
+    payloads (the 8 exact-moment dims, zero-padded/truncated to
+    ``dim``), stub (deterministic sha256-seeded unit vector) for
+    formats this container cannot decode. The Spark-side contract
+    (bytes in, float32[dim] out) is identical either way."""
+    if payload[:2] == b"BM":
+        base = _bmp_features(payload)
+        v = np.zeros(dim, dtype=np.float32)
+        upto = min(dim, len(base))
+        v[:upto] = np.asarray(base[:upto], dtype=np.float32)
+        return v
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     v = rng.standard_normal(dim).astype(np.float32)
     return v / np.linalg.norm(v)
 
 
+def nn_resample(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with the floor mapping
+    src = (dst·src_extent) // dst_extent — pure integer arithmetic,
+    deterministic on every platform."""
+    h, w, _ = px.shape
+    ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return px[ys[:, None], xs[None, :]]
+
+
 def _decode_resize(payload: bytes, w: int, h: int) -> bytes:
-    """STUB resize: keeps the magic header and rehashes the body with
-    the target dims (deterministic). Real impl: decode → resample →
-    re-encode."""
+    """Resize behind ``resize_images``: REAL for BMP payloads
+    (decode → nearest-neighbor resample → re-encode, byte-exact-pinned
+    vs an independent per-pixel loop in tests); STUB for formats this
+    container cannot decode (keeps the magic header, rehashes the body
+    with the target dims — deterministic)."""
+    if payload[:2] == b"BM":
+        return encode_bmp(nn_resample(decode_bmp(payload), w, h))
     head = payload[:4]
     body = hashlib.sha256(payload + f":{w}x{h}".encode()).digest()
     return head + body
