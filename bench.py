@@ -737,7 +737,33 @@ def main() -> None:
     scaling = _scaling_summary()
     if scaling:
         out["scaling"] = scaling
+    bands = _bands_summary()
+    if bands:
+        out["bands"] = bands
     print(json.dumps(out))
+
+
+def _bands_summary() -> dict | None:
+    """Best/median/worst fresh-process bands for every sub-10 s row,
+    from the committed micro_variance.json (tools/micro_variance.py —
+    N fresh JVMs back-to-back). Persisted NEXT TO the point values so
+    a reader can tell drift from VM noise without cross-referencing:
+    any single-run number inside its row's band is noise, not a
+    regression."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "micro_variance.json"
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        mv = json.load(open(path))
+        return {
+            "source": "micro_variance.json",
+            "reps": mv.get("reps"),
+            "rows": mv.get("rows"),
+        }
+    except (ValueError, OSError):
+        return None
 
 
 def _scaling_summary() -> dict | None:

@@ -620,7 +620,10 @@ def pq_topk(
     """ANN top-k by PQ screen + exact rerank: approximate cosine for
     every row from an (m × ks) driver-built lookup table over the
     packed code words (asymmetric distance computation), keep the top
-    ``pool`` (default max(10·k, 100)) as TakeOrderedAndProject, rerank
+    ``pool`` (default max(10·k, 200) — the 4.8M-vector worst-case
+    sweep shows 200 dominates 100 on BOTH axes: higher recall AND
+    lower cost-vs-brute, because the screen is cheap and the rerank
+    fetch is a broadcast probe) as TakeOrderedAndProject, rerank
     those at full precision, return exact-cosine top-k. The screen is
     one Arrow batch over the packed int64 words — numpy view-as-uint8
     + LUT fancy-gather, no per-row Python objects (see the module
@@ -633,7 +636,7 @@ def pq_topk(
     TakeOrdered priority queue by the limit (a 1e9 limit allocates a
     1e9-slot heap per task — measured OOM)."""
     if pool is None:
-        pool = max(10 * k, 100)
+        pool = max(10 * k, 200)
     if pool >= 1_000_000:
         # exact dial: rerank every row at full precision — no screen
         out = encoded

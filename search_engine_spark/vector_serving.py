@@ -243,7 +243,7 @@ class VectorServing:
         ):
             return self._brute(q, k, exclude_ids)
         if pool is None:
-            pool = max(10 * k, 100)
+            pool = max(10 * k, 200)
         if pool >= 1_000_000:
             # the Spark path (ivf_topk -> pq_topk huge-pool dial)
             # skips the screen but still scans only the PROBED
@@ -412,7 +412,7 @@ class VectorServingRouter:
             merged.sort(key=lambda t: (-t[1], t[0]))
             return merged[:k]
         if pool is None:
-            pool = max(10 * k, 100)
+            pool = max(10 * k, 200)
         ids_all, sc_all, probed_by_shard = [], [], []
         for s in self.shards:
             ids, sc, probed = s.screen(

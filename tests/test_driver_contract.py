@@ -113,7 +113,9 @@ def test_gate_cap_discipline():
     assert all(n in ORACLES for n in first50), [
         n for n in first50 if n not in ORACLES
     ]
-    # the round-4 lifecycle entries must sit inside the recorded window
+    # the round-4/5 lifecycle entries must sit inside the recorded
+    # window (round 5 rotated in dup_spans / media_features /
+    # seq_tokens for three in-window twins)
     for flagship in (
         "merged_bm25_topk",
         "vector_index_exact",
@@ -126,5 +128,8 @@ def test_gate_cap_discipline():
         "bpe_roundtrip",
         "hash_embed_topk",
         "hybrid_topk",
+        "dup_spans",
+        "media_features",
+        "seq_tokens",
     ):
         assert flagship in first50, flagship

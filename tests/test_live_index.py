@@ -336,6 +336,124 @@ def test_live_vector_index_tracks_the_stream(spark, tmp_path):
     assert len(srv.topk(q, k=5, exact=True)) == 5
 
 
+def test_combined_lifecycle_text_vector_pagerank(spark, tmp_path):
+    """ONE loop exercising everything together — text upserts, CDC
+    tombstones, live ANN maintenance, warm PageRank refresh — must
+    leave all THREE published artifacts value-identical to one-shot
+    builds over the surviving corpus (previously pinned pairwise)."""
+    from search_engine_spark.operators.embed import embed_text, hash_embed
+    from search_engine_spark.operators.pagerank import (
+        pagerank,
+        repo_link_graph,
+    )
+    from search_engine_spark.operators.vector_index import VectorIndex
+    from search_engine_spark.vector_serving import VectorServing
+
+    corpus_dir = str(tmp_path / "corpus")
+    root = str(tmp_path / "live_root")
+    base = generate_corpus(spark, 120, seed=11).cache()
+    base.write.mode("append").parquet(corpus_dir)
+    live = StreamingLiveIndex(
+        spark, corpus_dir, root, cfg=CFG, vector_dim=16,
+        vector_n_centroids=4,
+    )
+    live.process_available()
+    stats1: dict = {}
+    live.refresh_pagerank(repo_link_graph(base), stats=stats1)
+
+    # wave 2 (CDC): ids %7==0 tombstoned; doc 3 recrawled with changed
+    # content; 40 new arrivals 120..159 — one mixed micro-batch
+    full = generate_corpus(spark, 160, seed=11).cache()
+    dead = base.where(F.col("doc_id") % 7 == 0).withColumn(
+        "deleted", F.lit(True)
+    )
+    recrawl = (
+        full.where(F.col("doc_id") == 3)
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzzcombined"))
+        )
+        .withColumn("deleted", F.lit(False))
+    )
+    arrivals = full.where(F.col("doc_id") >= 120).withColumn(
+        "deleted", F.lit(False)
+    )
+    live._handle_batch(
+        dead.unionByName(recrawl).unionByName(arrivals), 4_242
+    )
+
+    tombstoned = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 120)
+    survivors = (
+        full.where(~tombstoned & (F.col("doc_id") != 3))
+        .unionByName(
+            full.where(F.col("doc_id") == 3).withColumn(
+                "content",
+                F.concat(F.col("content"), F.lit(" zzzcombined")),
+            )
+        )
+        .cache()
+    )
+    stats2: dict = {}
+    live.refresh_pagerank(repo_link_graph(survivors), stats=stats2)
+
+    # 1) TEXT artifact == one-shot build over the survivors
+    merged = load_latest_index(spark, root)
+    rebuilt = build_index(survivors, cfg=CFG)
+    assert _signature(merged) == _signature(rebuilt)
+
+    # 2) VECTOR artifact (exact dial) == one-shot build over survivors
+    q = embed_text("banana recipe", 16)
+    vidx = VectorIndex.load(spark, live.vector_index_path)
+    n_surv = survivors.count()
+    assert vidx.n_vectors == n_surv == 160 - 18
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in VectorIndex.build(
+            hash_embed(survivors, dim=16, text_col="content")
+            .withColumnRenamed("doc_id", "vec_id"),
+            dim=16, n_centroids=4,
+        ).topk(q, k=10, exact=True).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in vidx.topk(q, k=10, exact=True).collect()
+    ]
+    assert got == want
+
+    # 3) PAGERANK in the published docs == cold fixpoint over the
+    # survivor graph; the warm start must not iterate more than cold
+    got_pr = {
+        r["doc_id"]: r["page_rank"]
+        for r in load_latest_index(spark, root)
+        .docs.select("doc_id", "page_rank")
+        .collect()
+    }
+    cold = {
+        r["doc_id"]: r["page_rank"]
+        for r in pagerank(
+            repo_link_graph(survivors), survivors.select("doc_id"),
+            cfg=CFG,
+        ).collect()
+    }
+    assert set(got_pr) == set(cold)
+    eps_bound = 2 * CFG.pagerank_epsilon * 0.85 / 0.15
+    for d, v in cold.items():
+        assert abs(got_pr[d] - v) <= eps_bound, (d, v, got_pr[d])
+    assert stats2["iterations"] <= stats1["iterations"] + 2
+
+    # all three serving tiers answer over the published generation
+    srv = ServingIndex.load_latest(root)
+    assert srv.n_docs == n_surv
+    assert 3 in {d for d, *_ in srv.search("zzzcombined", k=5)}
+    assert srv._pr  # ranks auto-armed from the docs artifact
+    vsrv = VectorServing.load(live.vector_index_path)
+    assert [x[0] for x in vsrv.topk(q, k=10, exact=True)] == [
+        g[0] for g in got
+    ]
+    base.unpersist()
+    full.unpersist()
+    survivors.unpersist()
+
+
 def test_live_vector_full_replay_and_total_tombstones(spark, tmp_path):
     """Replay edge cases of the live vector index: (1) the SOLE
     processed batch replayed after a crash (stale ids == the entire

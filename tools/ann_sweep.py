@@ -6,9 +6,10 @@ worst case for bucketed ANN — same regime as the driver's synthetic
 embeddings), then measures wall time and recall@10 vs brute-force
 cosine for:
 
-  * ``pq_topk``   at candidate pools 50/100/200
+  * ``pq_topk``   at candidate pools 50/100/200/400 (200 = the
+    round-5 default: dominates 100 on both axes at 4.8M)
   * ``lsh_topk``  (n_planes=8) at hamming radii 3/4/5, PQ screen on
-  * ``ivf_topk``  (C=32) at n_probe 8/16/23, PQ screen on
+  * ``ivf_topk``  (C=32) at n_probe 8/16/23/26, PQ screen on
   * each bucketed op once more WITHOUT the PQ screen (full-precision
     probed scan) to isolate the screen's contribution
 
@@ -147,7 +148,7 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    for pool in (50, 100, 200):
+    for pool in (50, 100, 200, 400):
         run("pq", {"pool": pool},
             lambda qv, vid, pool=pool: pq_topk(
                 enc, cb, qv, k=10, pool=pool, exclude_ids=[vid]))
@@ -160,7 +161,7 @@ def main():
         lambda qv, vid: lsh_topk(
             enc_b.drop(*cb.word_cols), qv, dim=args.dim, k=10,
             n_planes=8, probe_radius=5, exclude_ids=[vid]))
-    for n_probe in (8, 16, 23):
+    for n_probe in (8, 16, 23, 26):
         run("ivf+pq", {"C": 32, "n_probe": n_probe},
             lambda qv, vid, np_=n_probe: ivf_topk(
                 assigned, cents, qv, k=10, n_probe=np_, codebooks=cb,

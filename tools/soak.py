@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""8M-document single-process soak: the full operational lifecycle —
+build + artifact save, warm query p50/p95, a 1% LSM merge wave, a cold
+PageRank over the 8M-node graph — in ONE fresh JVM, recording wall
+seconds per phase and the process-lifetime PEAK memory (JVM VmHWM +
+python RSS). 4× the committed 2M scaling study: the point is to find
+(or rule out) an OOM/spill cliff between the tested scale and the next
+order of magnitude before a cluster does.
+
+Disk shuffle is forced (SPARK_GRAFT_DISK_SHUFFLE semantics): /dev/shm
+would compete with the JVM heap for the same physical RAM at this
+scale, and the study should exercise real spill I/O.
+
+Usage:
+  SPARK_GRAFT_DRIVER_MEM=96g python tools/soak.py [--n 8000000]
+Writes --out (default /tmp/soak_8m.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERY_SET = [
+    "hash join window",
+    "scan AND batch",
+    "scan OR batch",
+    "scan NOT batch",
+    '"hash join"',
+    "partition shuffle broadcast spark",
+    "stream",
+]
+
+
+def _vm_peak_gib(pid: int) -> float | None:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for ln in f:
+                if ln.startswith("VmHWM:"):
+                    return round(int(ln.split()[1]) / (1024 * 1024), 2)
+    except OSError:
+        return None
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8_000_000)
+    ap.add_argument("--delta-pct", type=float, default=1.0)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--parts", type=int, default=128)
+    ap.add_argument("--out", default="/tmp/soak_8m.json")
+    args = ap.parse_args()
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import Index, build_index
+    from search_engine_spark.operators.merge import merge_indexes
+    from search_engine_spark.operators.pagerank import (
+        pagerank,
+        repo_link_graph,
+    )
+    from search_engine_spark.operators.query import search
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "96g"
+        ),
+    }
+    spark = get_spark(
+        app_name="soak-8m",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.parts,
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_pid = int(
+        spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    )
+    report: dict = {
+        "n_docs": args.n,
+        "cores": args.cores,
+        "shuffle_partitions": args.parts,
+        "driver_mem": extra["spark.driver.memory"],
+        "phases": {},
+    }
+
+    def phase(name: str, t0: float):
+        dt = time.perf_counter() - t0
+        report["phases"][name] = round(dt, 2)
+        print(f"[soak] {name}: {dt:.1f}s", flush=True)
+
+    work = tempfile.mkdtemp(prefix="soak8m_")
+    corpus_path = os.path.join(work, "corpus.parquet")
+    art_dir = os.path.join(work, "artifacts")
+
+    # phase 0: materialize the corpus to disk parquet (the realistic
+    # input shape; also what the merge/pagerank phases re-read)
+    t0 = time.perf_counter()
+    generate_corpus(
+        spark, n_docs=args.n, seed=42, num_partitions=args.parts
+    ).write.mode("overwrite").parquet(corpus_path)
+    phase("generate_corpus", t0)
+
+    docs = spark.read.parquet(corpus_path)
+    cfg = EngineConfig()  # full reference analyzer
+
+    # phase 1: build + save every artifact
+    t0 = time.perf_counter()
+    idx = build_index(docs, text_col="content", doc_id_col="doc_id",
+                      cfg=cfg)
+    idx.save(art_dir)
+    build_sec = time.perf_counter() - t0
+    phase("build_and_save", t0)
+    report["docs_per_sec_build"] = round(args.n / build_sec, 1)
+
+    # phase 2: warm queries over the SAVED artifacts (2 passes; p50/p95
+    # over per-query walls of the second)
+    idx2 = Index.load(spark, art_dir)
+    for q in QUERY_SET:  # warm
+        search(idx2, q, k=10).collect()
+    walls = []
+    t0 = time.perf_counter()
+    for q in QUERY_SET:
+        tq = time.perf_counter()
+        search(idx2, q, k=10).collect()
+        walls.append(time.perf_counter() - tq)
+    phase("query_suite_warm", t0)
+    walls.sort()
+    report["query_p50_sec"] = round(statistics.median(walls), 3)
+    report["query_p95_sec"] = round(walls[int(0.95 * (len(walls) - 1))], 3)
+
+    # phase 3: one LSM merge wave — delta-pct% new docs upserted
+    n_delta = int(args.n * args.delta_pct / 100)
+    t0 = time.perf_counter()
+    delta_docs = generate_corpus(
+        spark, n_docs=args.n + n_delta, seed=42,
+        num_partitions=args.parts,
+    ).where(f"doc_id >= {args.n}")
+    delta_idx = build_index(
+        delta_docs, text_col="content", doc_id_col="doc_id", cfg=cfg
+    )
+    merged = merge_indexes(idx2, delta_idx)
+    merged.postings.count()  # materialize the merge
+    phase("merge_wave_1pct", t0)
+    report["n_delta"] = n_delta
+
+    # phase 4: cold PageRank over the 8M-node link graph
+    t0 = time.perf_counter()
+    stats: dict = {}
+    pr = pagerank(
+        repo_link_graph(docs), docs.select("doc_id"), cfg=cfg,
+        stats=stats,
+    )
+    pr.count()
+    phase("pagerank_cold", t0)
+    report["pagerank_iterations"] = stats.get("iterations")
+
+    report["peak_jvm_gib"] = _vm_peak_gib(jvm_pid)
+    report["peak_python_gib"] = _vm_peak_gib(os.getpid())
+    report["total_sec"] = round(sum(report["phases"].values()), 1)
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
