@@ -52,6 +52,16 @@ from search_engine_spark.operators.tokenize import (
     tokenize_docs,
 )
 
+# Above this many documents an O(corpus) DataFrame cache stops being a
+# shortcut and becomes the memory cliff: SQL-caching the full postings
+# of the 8M-doc lifecycle soak (tools/soak.py) filled a 96g heap with
+# columnar batches and OOMed the concurrent parquet vectored reads.
+# Below the bound (every sf corpus, the 2M scaling study) the in-memory
+# cache is the measured win; above it, merge persists only its O(delta)
+# slice and save() falls back to a DISK_ONLY cache (bounded heap: batch
+# builders are transient, storage goes to local disk).
+PERSIST_FULL_MAX_DOCS = 2_000_000
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -119,7 +129,13 @@ class Index:
         lvl = self.postings.storageLevel
         own_cache = not (lvl.useMemory or lvl.useDisk)
         if own_cache:
-            self.postings.persist()
+            from pyspark import StorageLevel
+
+            self.postings.persist(
+                StorageLevel.MEMORY_AND_DISK
+                if self.n_docs <= PERSIST_FULL_MAX_DOCS
+                else StorageLevel.DISK_ONLY
+            )
         try:
             # sortWithinPartitions(term) after range-repartition →
             # parquet row-group min/max stats make term lookups prune

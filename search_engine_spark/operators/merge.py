@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.session import local_df
 from search_engine_spark.operators.index_build import (
+    PERSIST_FULL_MAX_DOCS,
     POSTINGS_SCHEMA,
     Index,
     merge_postings,
@@ -458,20 +459,51 @@ def _incremental_rebuild(
         )
     )
     regrouped = merge_postings(per_term, cfg)
-    postings = (
-        regrouped if clean is None else clean.unionByName(regrouped)
-    )
-    # the merged postings feed BOTH term_stats (groupBy below) and
-    # whatever the caller materializes next (save/query) — without a
-    # persist the rescore+regroup plan re-executes per consumer
-    # (measured 3x the merge cost at 500k docs). MEMORY_AND_DISK:
-    # spills, never recomputes.
-    postings = postings.persist()
+    if clean is None:
+        # exhaustive-regroup path: the whole output IS the regroup —
+        # term_stats (groupBy below) and the caller's materialization
+        # both consume it, so persist (without it the plan re-executes
+        # per consumer; measured 3x the merge cost at 500k docs).
+        postings = regrouped.persist()
+        df_per_term = postings.groupBy("term").agg(
+            F.sum("n_postings").alias("df")
+        )
+    else:
+        # Persist ONLY the O(delta) regrouped slice. The clean side is
+        # an O(corpus) rescore — SQL-caching it holds the entire
+        # index's columnar batches on the heap, which is the cliff the
+        # 8M-doc soak hit (OOM at 96g materializing that cache while
+        # parquet vectored reads ran; tools/soak.py). term_stats never
+        # needs the rescored rows: rescoring changes SCORES, never
+        # membership, so df over the clean shards comes from a
+        # column-pruned (term, n_postings) scan of the BASE postings —
+        # at 100 TB that is a 2-column parquet scan instead of a full
+        # decode+re-encode pass.
+        regrouped = regrouped.persist()
+        postings = clean.unionByName(regrouped)
+        if n_docs <= PERSIST_FULL_MAX_DOCS:
+            # small-corpus interactive case: keep the merged frame hot
+            # so repeated consumers of an unsaved merge don't re-run
+            # the clean rescore each time. MEMORY_AND_DISK: spills,
+            # never recomputes.
+            postings = postings.persist()
+        clean_df = (
+            a.postings.filter(~F.col("shard").isin(dirty))
+            .groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+        )
+        df_per_term = (
+            clean_df.unionByName(
+                regrouped.groupBy("term").agg(
+                    F.sum("n_postings").alias("df")
+                )
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
 
-    term_stats = (
-        postings.groupBy("term")
-        .agg(F.sum("n_postings").alias("df"))
-        .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
+    term_stats = df_per_term.withColumn(
+        "idf", F.log10(F.lit(float(n_docs)) / F.col("df"))
     )
     return Index(
         postings=postings,

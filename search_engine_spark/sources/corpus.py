@@ -86,7 +86,7 @@ def _row_for(i: int, seed: int) -> tuple[str, str, str, str, str]:
 
 def generate_corpus(
     spark: SparkSession, n_docs: int = 1000, seed: int = 42,
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, start_id: int = 0,
 ) -> DataFrame:
     """Distributed deterministic corpus of ``n_docs`` files.
 
@@ -94,6 +94,12 @@ def generate_corpus(
     ``doc_id`` is the generation id — dense and deterministic (the
     generator IS the canonical (repo, path) order), so no global sort is
     needed; for external tables use :func:`assign_doc_ids`.
+
+    ``start_id`` starts the id range at an offset: doc ``i`` here is
+    byte-identical to doc ``i`` of a start-0 run (the row is a pure
+    function of the id), so a delta slice [N, N+d) can be generated in
+    O(d) instead of generating N+d rows and filtering — a doc_id filter
+    cannot be pushed below the mapInPandas generator.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -111,7 +117,7 @@ def generate_corpus(
         CORPUS_SCHEMA.fields + [T.StructField("doc_id", T.LongType())]
     )
     df = (
-        spark.range(0, n_docs, numPartitions=num_partitions)
+        spark.range(start_id, start_id + n_docs, numPartitions=num_partitions)
         .mapInPandas(gen, schema=schema)
         .withColumn("sha256", F.sha2(F.col("content"), 256))
     )

@@ -26,6 +26,27 @@ def test_corpus_deterministic_across_parallelism(spark):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_corpus_start_id_slice_parity(spark):
+    """A delta slice [N, N+d) generated with start_id is byte-identical
+    to the same id range of a start-0 run (the O(d) delta path the 8M
+    soak uses instead of generate-all-and-filter)."""
+    from search_engine_spark.sources.corpus import generate_corpus
+
+    full = {
+        r["doc_id"]: r
+        for r in generate_corpus(spark, 60, seed=42, num_partitions=3)
+        .where("doc_id >= 40")
+        .collect()
+    }
+    delta = {
+        r["doc_id"]: r
+        for r in generate_corpus(
+            spark, 20, seed=42, num_partitions=3, start_id=40
+        ).collect()
+    }
+    assert full == delta and set(delta) == set(range(40, 60))
+
+
 def test_stats_match_oracle(spark_index, oracle_idx):
     assert spark_index.n_docs == oracle_idx.n_docs
     assert math.isclose(

@@ -143,10 +143,13 @@ def main():
     # phase 3: one LSM merge wave — delta-pct% new docs upserted
     n_delta = int(args.n * args.delta_pct / 100)
     t0 = time.perf_counter()
+    # generate ONLY the delta slice [n, n+d) — a doc_id filter cannot
+    # be pushed below the mapInPandas generator, so the where() form
+    # regenerates the full corpus to discard 99% of it
     delta_docs = generate_corpus(
-        spark, n_docs=args.n + n_delta, seed=42,
-        num_partitions=args.parts,
-    ).where(f"doc_id >= {args.n}")
+        spark, n_docs=n_delta, seed=42,
+        num_partitions=min(args.parts, 32), start_id=args.n,
+    )
     delta_idx = build_index(
         delta_docs, text_col="content", doc_id_col="doc_id", cfg=cfg
     )
