@@ -249,6 +249,29 @@ def semantic_topk(
                       to the query automatically.
       * neither     — embeds ``df`` inline (one narrow Arrow pass):
                       right for a single ad-hoc query."""
+    return _reuse_dispatch_topk(
+        query_text, df, k, dim, text_col, id_col, idf, emb, vindex,
+        exact,
+    )
+
+
+def _reuse_dispatch_topk(
+    query_text: str,
+    df: DataFrame | None,
+    k: int,
+    dim: int,
+    text_col: str,
+    id_col: str,
+    idf,
+    emb: DataFrame | None,
+    vindex,
+    exact: bool,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Shared emb=/vindex=/inline dispatch for ``semantic_topk`` and
+    ``more_like_this``: resolve the idf weighting once, embed the query
+    with the SAME weighting the corpus side carries, then route to the
+    VectorIndex, the precomputed embedding frame, or an inline embed."""
     w = _resolve_idf_weight(
         idf, df, dim, text_col,
         reuse="emb" if emb is not None else
@@ -259,7 +282,7 @@ def semantic_topk(
             query_text, vindex.dim,
             idf=w if w is not None else vindex.idf,
         )
-        out = vindex.topk(qv, k=k, exact=exact)
+        out = vindex.topk(qv, k=k, exact=exact, exclude_ids=exclude_ids)
         return (
             out.withColumnRenamed("vec_id", id_col)
             if id_col != "vec_id"
@@ -271,7 +294,8 @@ def semantic_topk(
         else hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
     )
     return _unit_dot_topk(
-        corpus, embed_text(query_text, dim, idf=w), k, id_col
+        corpus, embed_text(query_text, dim, idf=w), k, id_col,
+        exclude_ids=exclude_ids,
     )
 
 
@@ -297,28 +321,7 @@ def more_like_this(
     )
     if not anchor:
         raise KeyError(f"{id_col}={doc_id!r} not found")
-    w = _resolve_idf_weight(
-        idf, df, dim, text_col,
-        reuse="emb" if emb is not None else
-        ("vindex" if vindex is not None else None),
-    )
-    if vindex is not None:
-        qv = embed_text(
-            anchor[0][0], vindex.dim,
-            idf=w if w is not None else vindex.idf,
-        )
-        out = vindex.topk(qv, k=k, exact=exact, exclude_ids=[doc_id])
-        return (
-            out.withColumnRenamed("vec_id", id_col)
-            if id_col != "vec_id"
-            else out
-        )
-    corpus = (
-        emb
-        if emb is not None
-        else hash_embed(df, dim=dim, text_col=text_col, id_col=id_col, idf=w)
-    )
-    return _unit_dot_topk(
-        corpus, embed_text(anchor[0][0], dim, idf=w), k, id_col,
-        exclude_ids=[doc_id],
+    return _reuse_dispatch_topk(
+        anchor[0][0], df, k, dim, text_col, id_col, idf, emb, vindex,
+        exact, exclude_ids=[doc_id],
     )

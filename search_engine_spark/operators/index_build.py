@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -115,6 +115,21 @@ class Index:
     # lets per-query metadata lookups (_idf_map) read the tiny sorted
     # term_stats parquet with pyarrow instead of paying a Spark job.
     path: str | None = None
+    # caches THIS index owns (merge/delete tails persist their output;
+    # Spark's SQL CacheManager pins those until an explicit unpersist,
+    # so a long-running loop that merges per micro-batch must release
+    # each generation after publishing it — see release()).
+    owned_caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist every cache this index (and the merge chain that
+        produced it) registered. Call after the index is durably saved
+        / published: a streaming loop that merges per micro-batch would
+        otherwise pin one cached DataFrame per generation in the SQL
+        CacheManager until executor storage fills."""
+        for df in self.owned_caches:
+            df.unpersist()
+        self.owned_caches.clear()
 
     def save(self, path: str) -> None:
         # term_stats derives from the same postings plan the postings
@@ -437,6 +452,11 @@ def build_index(
         avgdl=avgdl,
         cfg=cfg,
         docs=docs_proj,
+        # tok feeds doc_stats AND postings lazily, so it cannot be
+        # unpersisted here; hand it to the caller's release() instead
+        # (a per-batch delta build in the streaming loop would
+        # otherwise pin one token cache per micro-batch).
+        owned_caches=[tok],
     )
 
 

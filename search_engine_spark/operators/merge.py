@@ -459,34 +459,39 @@ def _incremental_rebuild(
         )
     )
     regrouped = merge_postings(per_term, cfg)
-    if clean is None:
-        # exhaustive-regroup path: the whole output IS the regroup —
-        # term_stats (groupBy below) and the caller's materialization
-        # both consume it, so persist (without it the plan re-executes
-        # per consumer; measured 3x the merge cost at 500k docs).
-        postings = regrouped.persist()
+    # Exactly ONE cache per merge, registered on the returned Index's
+    # owned_caches so a per-micro-batch caller (streaming/live_index)
+    # can release() each generation after publishing — Spark's SQL
+    # CacheManager pins persisted frames until an explicit unpersist,
+    # so un-released merge caches accumulate one per wave.
+    if clean is None or n_docs <= PERSIST_FULL_MAX_DOCS:
+        # Exhaustive-regroup path, or the small-corpus interactive
+        # case: the merged frame feeds BOTH term_stats (groupBy below)
+        # and whatever the caller materializes next (save/query), so
+        # persist it — without the cache the rescore+regroup plan
+        # re-executes per consumer (measured 3x the merge cost at
+        # 500k docs). MEMORY_AND_DISK: spills, never recomputes.
+        postings = (
+            regrouped
+            if clean is None
+            else clean.unionByName(regrouped)
+        ).persist()
         df_per_term = postings.groupBy("term").agg(
             F.sum("n_postings").alias("df")
         )
     else:
-        # Persist ONLY the O(delta) regrouped slice. The clean side is
-        # an O(corpus) rescore — SQL-caching it holds the entire
-        # index's columnar batches on the heap, which is the cliff the
-        # 8M-doc soak hit (OOM at 96g materializing that cache while
-        # parquet vectored reads ran; tools/soak.py). term_stats never
-        # needs the rescored rows: rescoring changes SCORES, never
-        # membership, so df over the clean shards comes from a
-        # column-pruned (term, n_postings) scan of the BASE postings —
-        # at 100 TB that is a 2-column parquet scan instead of a full
-        # decode+re-encode pass.
+        # Large corpus: persist ONLY the O(delta) regrouped slice. The
+        # clean side is an O(corpus) rescore — SQL-caching it holds the
+        # entire index's columnar batches on the heap, which is the
+        # cliff the 8M-doc soak hit (OOM at 96g materializing that
+        # cache while parquet vectored reads ran; tools/soak.py).
+        # term_stats never needs the rescored rows: rescoring changes
+        # SCORES, never membership, so df over the clean shards comes
+        # from a column-pruned (term, n_postings) scan of the BASE
+        # postings — at 100 TB that is a 2-column parquet scan instead
+        # of a full decode+re-encode pass.
         regrouped = regrouped.persist()
         postings = clean.unionByName(regrouped)
-        if n_docs <= PERSIST_FULL_MAX_DOCS:
-            # small-corpus interactive case: keep the merged frame hot
-            # so repeated consumers of an unsaved merge don't re-run
-            # the clean rescore each time. MEMORY_AND_DISK: spills,
-            # never recomputes.
-            postings = postings.persist()
         clean_df = (
             a.postings.filter(~F.col("shard").isin(dirty))
             .groupBy("term")
@@ -513,6 +518,14 @@ def _incremental_rebuild(
         avgdl=avgdl,
         cfg=cfg,
         docs=docs,
+        # this merge's own cache, plus the caches of the chain that
+        # produced its inputs (e.g. delete_docs over a merge over a
+        # delta build) — release() after publish frees the whole chain.
+        owned_caches=(
+            [postings if clean is None or n_docs <= PERSIST_FULL_MAX_DOCS
+             else regrouped]
+            + list(getattr(a, "owned_caches", []) or [])
+        ),
     )
 
 
@@ -566,7 +579,7 @@ def merge_indexes(
             a.docs.join(b_ids, "doc_id", "left_anti")
             .unionByName(b.docs, allowMissingColumns=True)
         )
-    return _incremental_rebuild(
+    merged = _incremental_rebuild(
         a,
         drop_ids=b_ids,
         add_flat=flat_postings(b),
@@ -577,6 +590,11 @@ def merge_indexes(
         # rewritten anyway — take the exhaustive regroup path
         force_regroup=cfg.store_arrays != a.cfg.store_arrays,
     )
+    # the delta side's caches (e.g. a fresh delta build's token cache)
+    # belong to the merged chain too: release() after publish frees
+    # everything this generation pinned
+    merged.owned_caches.extend(getattr(b, "owned_caches", []) or [])
+    return merged
 
 
 def delete_docs(index: Index, doc_ids) -> Index:

@@ -27,9 +27,11 @@ Operators:
                           slice (real: keyframe extraction)
 
 Scale notes:
-  * Binary rows are large — ``rows_per_batch`` caps Arrow batch memory
-    (batch_bytes ≈ rows_per_batch × payload). Set
-    spark.sql.execution.arrow.maxRecordsPerBatch accordingly.
+  * Binary rows are large — two levers bound batch memory:
+    spark.sql.execution.arrow.maxRecordsPerBatch sizes the INPUT Arrow
+    batches (set it for binary-heavy tables), and ``rows_per_batch``
+    re-chunks inside the UDF (``_rechunk``) so the decode loop and each
+    OUTPUT batch hold ≤ rows_per_batch rows regardless of the conf.
   * mapInPandas streams batches (iterator API): peak executor memory is
     one batch, not one partition.
   * All outputs keep doc_id so downstream joins stay co-partitioned.
@@ -247,6 +249,19 @@ def _bmp_features(payload: bytes) -> list[float]:
     return out
 
 
+def _rechunk(
+    batches: Iterator[pd.DataFrame], rows_per_batch: int
+) -> Iterator[pd.DataFrame]:
+    """Slice incoming Arrow batches to ≤rows_per_batch rows. The INPUT
+    batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch
+    (set it for binary-heavy tables); re-chunking inside the UDF bounds
+    what the decode loop and each OUTPUT batch hold at once, so a large
+    input batch cannot force an equally large decoded-features batch."""
+    for pdf in batches:
+        for s in range(0, len(pdf), rows_per_batch):
+            yield pdf.iloc[s : s + rows_per_batch]
+
+
 def image_features(
     df: DataFrame, rows_per_batch: int = 512
 ) -> DataFrame:
@@ -262,7 +277,7 @@ def image_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, rows_per_batch):
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -336,7 +351,7 @@ def extract_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, rows_per_batch):
             feats = [
                 _decode_features(p, dim).tolist() for p in pdf["media"]
             ]

@@ -167,6 +167,11 @@ class StreamingLiveIndex:
             if merged is None:
                 return
             publish_index(merged, self.root)
+            # the generation is durable on disk — unpersist every cache
+            # the merge/delta chain pinned (one-to-two cached frames per
+            # micro-batch otherwise accumulate in the SQL CacheManager
+            # for the life of the stream)
+            merged.release()
             if self.vector_dim:
                 dead_ids = (
                     [
@@ -240,12 +245,19 @@ class StreamingLiveIndex:
                     pq_attach,
                 )
 
+                # persist: save() evaluates the encode once for the
+                # parquet write and once more for the n_vectors count
+                # (mirrors VectorIndex.append_to's own cache)
                 enc = pq_attach(
                     ivf_assign(emb, cur.cents), cur.codebooks
-                )
-                VectorIndex(
-                    enc, cur.codebooks, cur.cents, cur.dim, idf=cur.idf
-                ).save(vdir)
+                ).persist()
+                try:
+                    VectorIndex(
+                        enc, cur.codebooks, cur.cents, cur.dim,
+                        idf=cur.idf,
+                    ).save(vdir)
+                finally:
+                    enc.unpersist()
             else:
                 if stale:
                     VectorIndex.remove_ids(self.spark, vdir, stale)

@@ -232,3 +232,30 @@ def test_merge_keeps_base_docs_columns(spark, split_corpus):
     # sha256 projection also survives on both sides
     assert "sha256" in merged.docs.columns
     assert merged.docs.filter(F.col("sha256").isNull()).count() == 0
+
+
+def test_release_unpersists_merge_chain(spark, split_corpus):
+    """A per-micro-batch caller (streaming/live_index) publishes each
+    merged generation then release()s it; without that, one-to-two
+    cached frames per wave accumulate in the SQL CacheManager for the
+    life of the stream. release() must unpersist the merge's own cache
+    AND the chain that produced it (the delta build's token cache)."""
+    _, a, b = split_corpus
+    ia = build_index(a, cfg=TEST_CFG)
+    ib = build_index(b, cfg=TEST_CFG)
+    merged = merge_indexes(ia, ib)
+    # force materialization (what publish_index's save() does)
+    merged.postings.count()
+    lvl = merged.postings.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # small path caches the union
+    owned = list(merged.owned_caches)
+    # the chain: merged postings + both sides' token caches
+    assert len(owned) >= 3
+    merged.release()
+    assert merged.owned_caches == []
+    for df in [merged.postings] + owned:
+        s = df.storageLevel
+        assert not (s.useMemory or s.useDisk)
+    # the index stays QUERYABLE after release (caches are a perf
+    # artifact, never a correctness dependency)
+    assert len(_topk(merged, "spark")) > 0

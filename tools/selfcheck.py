@@ -81,9 +81,18 @@ def main():
         scols = sdf.columns
         dt = time.perf_counter() - t0
         if name not in oracles:
-            print(f"{name:24s} ROWS-ONLY rows={len(srows)} ({dt:.1f}s)")
+            # a rows-only entry that returns ZERO rows is a regression
+            # (every registered rows-only query returns >=1 row on the
+            # sf corpora by design) — `>= 0` would make PASS vacuous
+            status = "PASS" if len(srows) > 0 else "FAIL"
+            if status == "FAIL":
+                n_fail += 1
+            print(
+                f"{name:24s} ROWS-ONLY {status} rows={len(srows)} "
+                f"({dt:.1f}s)"
+            )
             report[name] = {"mode": "rows_only", "rows": len(srows),
-                            "status": "PASS" if len(srows) >= 0 else "FAIL",
+                            "status": status,
                             "secs": round(dt, 2)}
             continue
         ores = con.execute(oracles[name])
