@@ -120,6 +120,14 @@ def main():
     idx = build_index(docs, text_col="content", doc_id_col="doc_id",
                       cfg=cfg)
     idx.save(art_dir)
+    # the artifacts are durable — drop the build's O(corpus) token
+    # cache (Index.owned_caches). Leaving it pinned starves the query
+    # phase's execution memory at 8M docs (~tens of GB of
+    # MEMORY_AND_DISK blocks evicting/spilling to the virtio disk
+    # DURING the timed queries: measured 21 s / 74 s warm walls for
+    # the two widest queries with the cache pinned). Same discipline
+    # as the live loop's release()-after-publish.
+    idx.release()
     build_sec = time.perf_counter() - t0
     phase("build_and_save", t0)
     report["docs_per_sec_build"] = round(args.n / build_sec, 1)
@@ -164,6 +172,7 @@ def main():
     merged = merge_indexes(idx2, delta_idx)
     merged.postings.count()  # materialize the merge
     phase("merge_wave_1pct", t0)
+    merged.release()  # keep the pagerank phase's memory clean
     report["n_delta"] = n_delta
 
     # phase 4: cold PageRank over the 8M-node link graph
