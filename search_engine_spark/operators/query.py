@@ -55,7 +55,8 @@ _DECODED_SCHEMA = T.StructType(
 
 
 def term_matches(
-    index: Index, stems: list[str], base: DataFrame | None = None
+    index: Index, stems: list[str], base: DataFrame | None = None,
+    shard_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Q4 posting lookup: (doc_id, term, tf, tf_norm, bm25_tf, positions)
     rows for the query stems.
@@ -72,10 +73,19 @@ def term_matches(
     a superset of ``stems`` — the batch path (``search_many``) decodes
     the union of all queries' terms ONCE and every per-query plan
     filters that shared, persisted scan instead of re-reading parquet.
+
+    ``shard_filter``: optional one-column (shard) whitelist, broadcast
+    semi-joined against the posting BLOCK rows before any decode —
+    callers whose semantics bound candidates to a shard subset (phrase:
+    a match needs ALL stems, and shard = doc_id // docs_per_shard is
+    aligned across terms) prune whole codec blocks this way instead of
+    decoding then discarding rows.
     """
     if base is not None:
         return base.filter(F.col("term").isin(list(stems)))
     rows = index.postings.filter(F.col("term").isin(list(stems)))
+    if shard_filter is not None:
+        rows = rows.join(F.broadcast(shard_filter), "shard", "left_semi")
     if index.cfg.store_arrays:
         return rows.select(
             "term", F.explode("postings").alias("p")
@@ -220,9 +230,30 @@ def phrase_matches(
     the reference's HAVING-subquery shape, QueryIndex.java:225-229), then
     the gap-3 positional check as an Arrow UDF over nested position
     arrays — positions never explode into rows (vs the reference's
-    row-per-position WordPositions table)."""
+    row-per-position WordPositions table).
+
+    Block-level prune before the decode: a phrase candidate contains
+    ALL stems, and the posting layout shards by doc range
+    (shard = doc_id // docs_per_shard, aligned across terms —
+    index_build.py module doc), so only shards where EVERY stem has a
+    posting block can contribute. The whitelist is an aggregation over
+    posting BLOCK rows (≤ n_terms × n_shards rows, never entries) and
+    is broadcast — a stem absent from the index (reference: empty
+    phrase result, QueryIndex.java HAVING count = n) zeroes it and the
+    positions codec never runs; a rare-stem phrase decodes only the
+    rare stem's shards. At 8M docs the empty-stem case drops from the
+    full wide-term positions decode (~8 s) to the block-row scan."""
     uniq = list(dict.fromkeys(stems))
-    rows = term_matches(index, uniq, base=base)
+    shard_filter = None
+    if base is None and len(uniq) > 1:
+        blocks = index.postings.filter(F.col("term").isin(uniq))
+        shard_filter = (
+            blocks.groupBy("shard")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == F.lit(len(uniq)))
+            .select("shard")
+        )
+    rows = term_matches(index, uniq, base=base, shard_filter=shard_filter)
     # collect the FULL match entries in the one candidate groupBy and
     # explode the survivors back out: the old shape semi-joined `rows`
     # against the gated candidates, which evaluated the codec decode

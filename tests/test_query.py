@@ -159,6 +159,48 @@ def test_codec_only_profile_rank_identity(spark, corpus_df):
             assert math.isclose(sa, sb, rel_tol=1e-5), q
 
 
+def test_phrase_absent_stem_short_circuits(spark, corpus_df, spark_index,
+                                           oracle_idx):
+    """A phrase containing a stem absent from the index returns empty
+    (reference HAVING count = n semantics) on BOTH physical layouts —
+    and the shard whitelist that makes it cheap keeps exactly the
+    shards where EVERY stem has a posting block."""
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import phrase_matches
+    from search_engine_spark.oracle import oracle_search
+
+    q = '"banana nosuchwordxyz"'
+    assert search(spark_index, q, k=10).collect() == []
+    assert oracle_search(oracle_idx, q, k=10) == []
+    lean = build_index(
+        corpus_df,
+        cfg=EngineConfig(docs_per_shard=64, block_size=16,
+                         store_arrays=False),
+    )
+    assert search(lean, q, k=10).collect() == []
+
+    # whitelist semantics: pruned phrase candidates == the blocks'
+    # shard intersection (multi-shard fixture: docs_per_shard=64)
+    stems = ["banana", "recip"]
+    blocks = spark_index.postings.filter(F.col("term").isin(stems))
+    both = {
+        r["shard"]
+        for r in blocks.groupBy("shard")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .collect()
+    }
+    assert len(both) > 1, "fixture should span multiple shards"
+    got_shards = {
+        r["doc_id"] // 64
+        for r in phrase_matches(spark_index, stems).select("doc_id").collect()
+    }
+    assert got_shards <= both
+
+
 def test_search_paged_reference_semantics(spark_index):
     """R5 (BackendManager.java:331-356): offset slice, partial last page,
     beyond-last-page -> (empty, total)."""
