@@ -223,6 +223,129 @@ def _make_phrase_udf(stems: list[str], max_gap: int):
     return phrase_ok
 
 
+def _phrase_matches_cogrouped(
+    index: Index, stems: list[str], uniq: list[str],
+    shard_filter: DataFrame | None,
+) -> DataFrame:
+    """Per-shard cogrouped phrase match over the posting BLOCK rows.
+
+    The old shape decoded every stem's postings into per-doc rows, wide-
+    exchanged ALL of them (positions included) through a
+    groupBy(doc_id).collect_list, and gap-checked afterwards — at 8M
+    docs a two-wide-stem phrase shuffled ~10M nested position arrays to
+    find its candidates. Shards are doc-id ranges aligned across terms
+    (index_build.py), so the intersection + gap check can instead run
+    INSIDE one applyInPandas per shard over the codec binaries (present
+    in BOTH physical layouts — POSTINGS_SCHEMA always carries them):
+    the only exchange is the block rows themselves (n_stems × n_shards
+    rows ≈ the stems' compressed postings), per-task memory is bounded
+    by docs_per_shard, and only SURVIVORS join doc_stats for tf_norm.
+    Semantics are byte-identical: candidates = docs holding ALL stems
+    (reference HAVING count = n, QueryIndex.java:225-229), matcher =
+    the same quirk-Q8 ``oracle.phrase_match`` chained walk."""
+    import numpy as np
+
+    from search_engine_spark.operators import codec
+    from search_engine_spark.oracle import phrase_match
+
+    n_uniq = len(uniq)
+    order = list(stems)
+    max_gap = index.cfg.phrase_max_gap
+    # tf/bm25 precision must match the profile the caller scores with:
+    # the arrays profile stores float64, the codec binaries are float32 —
+    # on store_arrays=True ship the stored arrays (aligned with the
+    # encoded doc-id run by construction), else decode the binaries.
+    has_arrays = index.cfg.store_arrays
+    val_cols = (
+        [
+            F.col("postings.tf").alias("tf_arr"),
+            F.col("postings.bm25_tf").alias("bm25_arr"),
+        ]
+        if has_arrays
+        else [F.col("tf_enc"), F.col("bm25_tf_enc")]
+    )
+    blocks = index.postings.filter(F.col("term").isin(uniq)).select(
+        "term", "shard", "doc_ids_enc", "pos_enc", *val_cols
+    )
+    if shard_filter is not None:
+        blocks = blocks.join(F.broadcast(shard_filter), "shard", "left_semi")
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="float64"),
+                "bm25_tf": pd.Series(dtype="float64"),
+                "positions": pd.Series(dtype="object"),
+            }
+        )
+        per_term = {}
+        for r in pdf.itertuples():
+            ids = codec.delta_decode_ids(r.doc_ids_enc)
+            if has_arrays:
+                tfs = np.asarray(r.tf_arr, dtype=np.float64)
+                bms = np.asarray(r.bm25_arr, dtype=np.float64)
+            else:
+                tfs = codec.decode_tfs(r.tf_enc)
+                bms = codec.decode_tfs(r.bm25_tf_enc)
+            per_term[r.term] = (
+                ids,
+                tfs,
+                bms,
+                codec.decode_positions(r.pos_enc, ids.size),
+            )
+        if len(per_term) < n_uniq:
+            return empty
+        cand = None
+        for ids, _tf, _bm, _pos in per_term.values():
+            cand = (
+                ids
+                if cand is None
+                else np.intersect1d(cand, ids, assume_unique=True)
+            )
+            if cand.size == 0:
+                return empty
+        # block doc-id runs are sorted by construction -> searchsorted
+        locs = {t: np.searchsorted(v[0], cand) for t, v in per_term.items()}
+        keep = [
+            j
+            for j in range(cand.size)
+            if phrase_match(
+                [sorted(per_term[s][3][locs[s][j]]) for s in order], max_gap
+            )
+        ]
+        if not keep:
+            return empty
+        out: dict = {
+            "doc_id": [], "term": [], "tf": [], "bm25_tf": [],
+            "positions": [],
+        }
+        for t, (ids, tfs, bms, pos) in per_term.items():
+            for j in keep:
+                i = locs[t][j]
+                out["doc_id"].append(int(cand[j]))
+                out["term"].append(t)
+                out["tf"].append(float(tfs[i]))
+                out["bm25_tf"].append(float(bms[i]))
+                out["positions"].append(pos[i])
+        return pd.DataFrame(out)
+
+    decoded = blocks.groupBy("shard").applyInPandas(
+        check, schema=_DECODED_SCHEMA
+    )
+    return decoded.join(index.doc_stats, "doc_id").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.when(
+            F.col("doc_len") > 0, F.col("tf") / F.col("doc_len")
+        ).otherwise(F.lit(0.0)).alias("tf_norm"),
+        "bm25_tf",
+        "positions",
+    )
+
+
 def phrase_matches(
     index: Index, stems: list[str], base: DataFrame | None = None
 ) -> DataFrame:
@@ -253,6 +376,7 @@ def phrase_matches(
             .filter(F.col("nt") == F.lit(len(uniq)))
             .select("shard")
         )
+        return _phrase_matches_cogrouped(index, stems, uniq, shard_filter)
     rows = term_matches(index, uniq, base=base, shard_filter=shard_filter)
     # collect the FULL match entries in the one candidate groupBy and
     # explode the survivors back out: the old shape semi-joined `rows`

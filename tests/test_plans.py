@@ -36,7 +36,20 @@ def test_search_plan_properties(saved_index):
     assert "Python" not in plan and "InPandas" not in plan
 
 
-def test_scan_column_pruning(saved_index):
+def test_phrase_plan_cogroups_on_shard(saved_index):
+    """The phrase candidate+gap check is ONE FlatMapGroupsInPandas per
+    shard over posting BLOCK rows gated by a broadcast shard whitelist —
+    per-doc position arrays never shuffle through a collect_list."""
+    from search_engine_spark.operators.query import search
+
+    plan = _plan(search(saved_index, '"banana recipe"', k=10))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the old shape's candidate groupBy shuffled every decoded posting
+    # row's nested positions through collect_list — gone
+    assert "collect_list" not in plan
+    # block rows reach the scan with the stems pushed
+    assert "In(term, [" in plan
     from pyspark.sql import functions as F
 
     df = saved_index.postings.filter(F.col("term") == "banana").select(

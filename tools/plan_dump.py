@@ -97,6 +97,20 @@ def main() -> None:
     )
 
     add(
+        "Phrase top-k (`search`, quoted query)",
+        "What to look for: the phrase candidate+gap check runs as ONE "
+        "`FlatMapGroupsInPandas` per shard over the posting BLOCK rows "
+        "(shards are doc-id ranges aligned across terms), gated by a "
+        "broadcast shard whitelist (`countDistinct(term) == n` over "
+        "block rows — a stem absent from the index zeroes it and no "
+        "codec decode ever runs). The only exchange before the check "
+        "is the block rows themselves — per-doc position arrays are "
+        "never shuffled; only SURVIVORS join doc_stats for tf_norm.",
+        search(idx, '"hash join"', k=10),
+        max_lines=70,
+    )
+
+    add(
         "Brute-force cosine top-k (`cosine_topk`)",
         "The dot product is pure JVM column algebra (`zip_with` + "
         "`aggregate` — no Python in the scan), and the top-k is a "
