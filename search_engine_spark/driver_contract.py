@@ -1917,6 +1917,101 @@ def q_media_features(spark, sf_dir):
              "value")
 
 
+def q_png_features(spark, sf_dir):
+    """REAL PNG decode (stdlib zlib inflate + all five scanline
+    filters — attach_fake_png cycles the filter type i%5 corpus-wide)
+    -> the SAME exact-moment features as the BMP path over the SAME
+    LCG pixel grid and dims, so SQL_MEDIA_FEATURES applies verbatim:
+    a decoder that misreads any filter's reconstruction, row order,
+    or channel order mismatches immediately."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_png,
+        image_features,
+    )
+
+    media = attach_fake_png(_docs(spark, sf_dir))
+    feats = image_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+             "value")
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode -> feature extraction, hash-checked end to
+    end: every doc gets an actual 16-bit PCM RIFF/WAVE payload
+    (deterministic LCG sample stream, ``attach_fake_wav``),
+    ``audio_features`` decodes it with the stdlib codec (chunk walk,
+    little-endian int16) and emits 8 exact-integer-moment dims
+    (mean / population variance / min / max / mean-abs in full-scale
+    units, zero-crossing fraction, n, rate). The DuckDB oracle
+    REGENERATES the sample stream from the formula and re-derives the
+    same moments — a decoder that misreads chunk layout, byte order,
+    or sample width mismatches immediately."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_wav,
+        audio_features,
+    )
+
+    media = attach_fake_wav(_docs(spark, sf_dir))
+    feats = audio_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+             "value")
+
+
+# the oracle never touches the WAV bytes: it rebuilds the PCM stream
+# the generator encoded (multimodal.fake_wav_samples) and derives the
+# moments relationally — decode errors cannot cancel out. Every dim
+# is ONE IEEE division of exact int64 moments (numerators stay under
+# 2^53 except dim 1's, whose int64->double rounding is the same
+# round-to-nearest in both engines), so the doubles are bit-identical.
+SQL_AUDIO_FEATURES = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS i,
+         (256 + (doc_id % 4) * 128)::BIGINT AS n,
+         (8000 + (doc_id % 3) * 4000)::BIGINT AS sr
+  FROM documents
+),
+s AS (
+  SELECT d.i, d.sr, u.t,
+         ((31*d.i + 9973*u.t + 7) % 65536 - 32768)::BIGINT AS v
+  FROM d, UNNEST(generate_series(0, d.n - 1)) u(t)
+),
+z AS (
+  SELECT i, v, lag(v) OVER (PARTITION BY i ORDER BY t) AS pv FROM s
+),
+agg AS (
+  SELECT i, sr, count(*)::BIGINT AS cnt,
+         sum(v)::BIGINT AS sv, sum(v*v)::BIGINT AS qv,
+         min(v)::BIGINT AS mn, max(v)::BIGINT AS mx,
+         sum(abs(v))::BIGINT AS sa
+  FROM s GROUP BY i, sr
+),
+zc AS (
+  SELECT i,
+         sum(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM z WHERE pv IS NOT NULL GROUP BY i
+),
+f AS (
+  SELECT a.i AS doc_id, 8 AS nd, [
+    a.sv::DOUBLE / (a.cnt * 32768),
+    (a.cnt*a.qv - a.sv*a.sv)::DOUBLE / (a.cnt*a.cnt*32768*32768)::DOUBLE,
+    a.mn::DOUBLE / 32768,
+    a.mx::DOUBLE / 32768,
+    a.sa::DOUBLE / (a.cnt * 32768),
+    coalesce(zc.c, 0)::DOUBLE / (a.cnt - 1),
+    a.cnt::DOUBLE / 65536,
+    a.sr::DOUBLE / 65536
+  ] AS fv
+  FROM agg a LEFT JOIN zc ON zc.i = a.i
+)
+SELECT doc_id, (u.k - 1)::BIGINT AS dim_idx, fv[u.k] AS value
+FROM f, UNNEST(generate_series(1, nd)) u(k)
+"""
+
+
 # the oracle never touches the BMP bytes: it rebuilds the pixel grid
 # the generator encoded (multimodal.fake_bmp_pixels) and derives the
 # moments relationally — decode errors cannot cancel out
@@ -2844,6 +2939,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "embed_dup_lsh": q_embed_dup_lsh,
+    # round-5 real-codec promotions: PNG (stdlib zlib, all 5 scanline
+    # filters) and WAV (16-bit PCM chunk walk) decode paths, each
+    # hash-checked against an oracle that REGENERATES the pixel/sample
+    # grid relationally (tail entries — oracle-checked by
+    # tests/test_driver_contract.py + tools/selfcheck.py).
+    "png_features": q_png_features,
+    "audio_features": q_audio_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2921,4 +3023,6 @@ ORACLE_SQL: dict[str, str] = {
     "vector_index_exact": SQL_ANN_COSINE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "live_loop_topk": SQL_BM25_TOPK,
+    "png_features": SQL_MEDIA_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
 }

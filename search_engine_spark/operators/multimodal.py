@@ -4,13 +4,21 @@ Design for a 100 TB training-data pipeline: media rides as an opaque
 ``binary`` column next to typed metadata (mime, width/height, duration),
 exactly like Parquet/Iceberg store it in production. All engine-side
 plumbing — schemas, partition sizing, Arrow batch shape, mapInPandas
-signatures — is real and tested. ONE codec is fully real in pure
-stdlib+numpy: 24-bit uncompressed BMP (``encode_bmp``/``decode_bmp``),
-driving real feature extraction (``image_features`` — exact integer
-pixel moments) and real nearest-neighbor resize. JPEG/PNG/audio decode
-remain stubbed behind the ``_decode_*`` seams because this container
-ships no image/audio libraries — swap the seam for PIL/torchaudio on a
-real cluster; nothing else changes.
+signatures — is real and tested. THREE codecs are fully real in pure
+stdlib+numpy:
+
+  * 24-bit uncompressed BMP (``encode_bmp``/``decode_bmp``)
+  * 8-bit RGB PNG (``encode_png``/``decode_png`` — stdlib ``zlib``
+    DEFLATE + all five scanline filter types on decode)
+  * 16-bit PCM RIFF/WAVE (``encode_wav``/``decode_wav``)
+
+driving real feature extraction (``image_features`` /
+``audio_features`` — exact integer moments, bit-identical across
+engines), real nearest-neighbor image resize and audio resample.
+JPEG and compressed-audio decode remain stubbed behind the
+``_decode_*`` seams because this container ships no image/audio
+libraries — swap the seam for PIL/torchaudio on a real cluster;
+nothing else changes.
 
 Operators:
   * attach_fake_media   — deterministic synthetic binary payloads (seeded
@@ -117,11 +125,11 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# REAL codec: 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB) in
-# pure stdlib struct + numpy — no image library needed. This is the
-# one fully-real decode path; JPEG/PNG/audio remain documented seams
-# (swap for PIL/torchaudio on a real cluster; the Spark-side plumbing
-# is identical).
+# REAL codec #1: 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB) in
+# pure stdlib struct + numpy — no image library needed. PNG and WAV
+# follow below; JPEG/compressed-audio remain documented seams (swap
+# for PIL/torchaudio on a real cluster; the Spark-side plumbing is
+# identical).
 # --------------------------------------------------------------------------
 
 import struct
@@ -226,12 +234,13 @@ IMAGE_FEATURE_DIM = 8
 
 
 def _bmp_features(payload: bytes) -> list[float]:
-    """REAL feature vector from a decoded BMP — 8 dims, every one a
-    single IEEE division of EXACT int64 moments (so any engine that
-    sums the same pixels lands on the bit-identical double):
+    """REAL feature vector from a decoded image (BMP or PNG — magic
+    dispatch via ``decode_image``) — 8 dims, every one a single IEEE
+    division of EXACT int64 moments (so any engine that sums the same
+    pixels lands on the bit-identical double):
     [mean_R, mean_G, mean_B] / 255, population-variance
     [(n·Σc² − (Σc)²) / (n²·255²)] per channel, w/256, h/256."""
-    px = decode_bmp(payload).astype(np.int64)
+    px = decode_image(payload).astype(np.int64)
     h, w, _ = px.shape
     n = h * w
     out = []
@@ -265,10 +274,11 @@ def _rechunk(
 def image_features(
     df: DataFrame, rows_per_batch: int = 512
 ) -> DataFrame:
-    """(doc_id, features: array<double>[8]) over REAL BMP payloads via
-    mapInPandas — the fully-real decode path (non-BMP rows raise; run
-    it behind a mime/magic filter in mixed corpora). float64 so the
-    exact-integer-moment arithmetic survives to the output."""
+    """(doc_id, features: array<double>[8]) over REAL BMP or PNG
+    payloads via mapInPandas — the fully-real decode paths (other
+    formats raise; run it behind a mime/magic filter in mixed
+    corpora). float64 so the exact-integer-moment arithmetic survives
+    to the output."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -291,19 +301,415 @@ def image_features(
 
 
 # --------------------------------------------------------------------------
-# codec seams — STUBS for formats with no decoder in this container
-# (JPEG/PNG/audio). Replace with PIL / torchaudio / ffmpeg on a real
-# cluster; BMP rows take the REAL path above.
+# REAL codec #2: 8-bit truecolor PNG over stdlib zlib — DEFLATE is in
+# the standard library, so PNG needs no image package at all. Decode
+# implements all five scanline filter types (None/Sub/Up/Average/
+# Paeth); encode can emit any one of them, so the decoder's unfilter
+# path is pinned against this encoder for every type in tests.
+# --------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor (color type 2) PNG bytes.
+    ``filter_type`` picks the per-scanline filter (0=None default,
+    1..4 = Sub/Up/Average/Paeth)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {px.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    raw = px.astype(np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.vstack([np.zeros((1, 3), np.int64), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.int64), prev[:-1]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - (left + prev) // 2
+        else:
+            out = cur - _paeth(left, prev, upleft)
+        lines.append(
+            bytes([filter_type]) + (out % 256).astype(np.uint8).tobytes()
+        )
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor non-interlaced PNG -> (h, w, 3) uint8 RGB.
+    Implements all five scanline filters; palette/alpha/16-bit/
+    interlaced variants are the documented codec seam. Multiple IDAT
+    chunks and unknown ancillary chunks are handled per spec."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
+        elif tag == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNGs are decoded here "
+            f"(depth={depth}, color={color}, interlace={interlace}) — "
+            f"other variants are the documented codec seam"
+        )
+    stride = 1 + w * 3
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline payload has the wrong length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    zero3 = np.zeros(3, dtype=np.int64)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].reshape(w, 3).astype(np.int64)
+        if ft == 0:
+            pass
+        elif ft == 2:
+            cur = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros((w, 3), dtype=np.int64)
+            for x in range(w):
+                left = rec[x - 1] if x else zero3
+                upleft = prev[x - 1] if x else zero3
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prev[x]) // 2
+                else:
+                    pred = _paeth(left, prev[x], upleft)
+                rec[x] = (cur[x] + pred) % 256
+            cur = rec
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched real image decode: BMP or PNG -> (h, w, 3)
+    uint8 RGB. Everything else is the documented JPEG/etc seam."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "no stdlib decoder for this image format — documented codec seam"
+    )
+
+
+def attach_fake_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-format synthetic PNGs over the SAME deterministic pixel
+    grid and dims as ``attach_fake_bmp`` (w=16+(i%4)·8, h=16+(i%3)·8)
+    — so the media_features DuckDB oracle applies verbatim to the PNG
+    decode path. The scanline filter type cycles i%5, so every filter
+    is exercised corpus-wide."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+                out.append(
+                    (i,
+                     encode_png(fake_bmp_pixels(i, w, h), filter_type=i % 5),
+                     "image/png", w, h)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "mime", "width", "height"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec #3: 16-bit PCM RIFF/WAVE — pure struct + numpy. Drives
+# real audio feature extraction (exact integer moments, same
+# bit-identical-division design as the image path), real framing and
+# real nearest-neighbor resampling.
+# --------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM samples, shape (n,) mono or (n, ch) -> RIFF/WAVE
+    bytes (format tag 1 = PCM, 16 bits/sample — canonical WAV)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> ((n, ch) int16 samples, sample_rate). Walks
+    the chunk list per spec (unknown chunks like LIST are skipped,
+    word alignment honored); only format tag 1 / 16-bit PCM decodes —
+    compressed audio is the documented seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_fmt, ch, sr, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAVs are decoded here (format={audio_fmt},"
+            f" bits={bits}) — compressed audio is the documented seam"
+        )
+    s = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    return s.reshape(-1, ch), sr
+
+
+def fake_wav_samples(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic synthetic mono PCM — linear congruential per
+    sample index, chosen so a SQL engine re-derives every sample (the
+    audio_features gate oracle regenerates this stream in DuckDB):
+    s_t = ((31·i + 9973·t + 7) mod 65536) − 32768. The 9973 step wraps
+    the 16-bit range every ~6.6 samples, so the stream genuinely
+    oscillates and the zero-crossing dim is exercised."""
+    i = int(doc_id)
+    t = np.arange(n, dtype=np.int64)
+    return ((31 * i + 9973 * t + 7) % 65536 - 32768).astype(np.int16)
+
+
+def attach_fake_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-format synthetic audio: every row an actual 16-bit PCM WAV
+    over the deterministic fake_wav_samples stream; id-derived
+    n ∈ {256,384,512,640}, rate ∈ {8000,12000,16000} Hz."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                n = 256 + (i % 4) * 128
+                sr = 8000 + (i % 3) * 4000
+                out.append(
+                    (i, encode_wav(fake_wav_samples(i, n), sr),
+                     "audio/wav", sr, n)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "media", "mime", "sample_rate",
+                         "n_samples"],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
+
+
+AUDIO_FEATURE_DIM = 8
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """REAL feature vector from a decoded WAV — 8 dims, each a single
+    IEEE division of EXACT int64 moments over the interleaved sample
+    stream (multi-channel streams are flattened; the synthetic corpus
+    is mono): [mean, population variance, min, max, mean |s|] in
+    full-scale units, zero-crossing fraction, n/65536, rate/65536."""
+    s, sr = decode_wav(payload)
+    v = s.reshape(-1).astype(np.int64)
+    n = v.size
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    sv, qv = int(v.sum()), int((v * v).sum())
+    sa = int(np.abs(v).sum())
+    neg = v < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    return [
+        sv / (n * 32768.0),
+        float(n * qv - sv * sv) / float(n * n * 32768 * 32768),
+        int(v.min()) / 32768.0,
+        int(v.max()) / 32768.0,
+        sa / (n * 32768.0),
+        zc / float(n - 1) if n > 1 else 0.0,
+        n / 65536.0,
+        sr / 65536.0,
+    ]
+
+
+def audio_features(df: DataFrame, rows_per_batch: int = 512) -> DataFrame:
+    """(doc_id, features: array<double>[8]) over REAL WAV payloads via
+    mapInPandas — same exact-moment design as image_features, so the
+    DuckDB gate oracle re-derives every dim from the regenerated
+    sample stream. float64 end-to-end."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _rechunk(batches, rows_per_batch):
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "features": [_wav_features(p) for p in pdf["media"]],
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=schema)
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """binary→binary audio transform keeping AUDIO_SCHEMA: decode →
+    nearest-neighbor index map (src = (dst·n_src) // n_dst, the same
+    floor mapping as image resize — deterministic integer arithmetic)
+    → re-encode at ``target_rate``. n_dst = n_src·target/src exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                s, sr = decode_wav(payload)
+                n_src = s.shape[0]
+                n_dst = max((n_src * target_rate) // sr, 1)
+                idx = (np.arange(n_dst, dtype=np.int64) * n_src) // n_dst
+                out.append(
+                    (int(did), encode_wav(s[idx], target_rate),
+                     "audio/wav", target_rate, int(n_dst))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "media", "mime", "sample_rate",
+                         "n_samples"],
+            )
+
+    return df.select(
+        "doc_id", "media", "mime", "sample_rate", "n_samples"
+    ).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def audio_frames(
+    df: DataFrame, frame_samples: int = 256, hop: int = 128
+) -> DataFrame:
+    """One row per analysis window over REAL decoded PCM: (doc_id,
+    frame_idx, frame) where ``frame`` is itself a VALID WAV payload
+    over samples [idx·hop, idx·hop+frame_samples) — the audio analogue
+    of video keyframe sampling. The explode happens inside the UDF so
+    one Arrow batch in streams n_frames batches' worth out."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                s, sr = decode_wav(payload)
+                n = s.shape[0]
+                fi = 0
+                for start in range(0, max(n - frame_samples, 0) + 1, hop):
+                    rows.append(
+                        (int(did), fi,
+                         encode_wav(s[start : start + frame_samples], sr))
+                    )
+                    fi += 1
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select("doc_id", "media").mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# codec seams — STUBS only for formats with no stdlib decoder
+# (JPEG, compressed audio, video containers). Replace with PIL /
+# torchaudio / ffmpeg on a real cluster; BMP/PNG/WAV rows take the
+# REAL paths above.
 # --------------------------------------------------------------------------
 
 def _decode_features(payload: bytes, dim: int) -> np.ndarray:
-    """Feature extractor behind ``extract_features``: REAL for BMP
-    payloads (the 8 exact-moment dims, zero-padded/truncated to
-    ``dim``), stub (deterministic sha256-seeded unit vector) for
+    """Feature extractor behind ``extract_features``: REAL for BMP and
+    PNG payloads (the 8 exact-moment pixel dims) and for RIFF/WAVE
+    payloads (the 8 exact-moment audio dims), zero-padded/truncated to
+    ``dim``; stub (deterministic sha256-seeded unit vector) for
     formats this container cannot decode. The Spark-side contract
-    (bytes in, float32[dim] out) is identical either way."""
-    if payload[:2] == b"BM":
-        base = _bmp_features(payload)
+    (bytes in, float32[dim] out) is identical either way. Note the
+    dispatch is on the FULL container signature (8-byte PNG sig,
+    RIFF????WAVE) — attach_fake_media's magic-prefixed keystream rows
+    deliberately fail it and keep the stub path."""
+    is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    if payload[:2] == b"BM" or payload[:8] == _PNG_SIG or is_wav:
+        base = _wav_features(payload) if is_wav else _bmp_features(payload)
         v = np.zeros(dim, dtype=np.float32)
         upto = min(dim, len(base))
         v[:upto] = np.asarray(base[:upto], dtype=np.float32)
@@ -325,13 +731,16 @@ def nn_resample(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 
 def _decode_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Resize behind ``resize_images``: REAL for BMP payloads
-    (decode → nearest-neighbor resample → re-encode, byte-exact-pinned
-    vs an independent per-pixel loop in tests); STUB for formats this
-    container cannot decode (keeps the magic header, rehashes the body
-    with the target dims — deterministic)."""
+    """Resize behind ``resize_images``: REAL for BMP and PNG payloads
+    (decode → nearest-neighbor resample → re-encode in the SAME
+    format, byte-exact-pinned vs an independent per-pixel loop in
+    tests); STUB for formats this container cannot decode (keeps the
+    magic header, rehashes the body with the target dims —
+    deterministic)."""
     if payload[:2] == b"BM":
         return encode_bmp(nn_resample(decode_bmp(payload), w, h))
+    if payload[:8] == _PNG_SIG:
+        return encode_png(nn_resample(decode_png(payload), w, h))
     head = payload[:4]
     body = hashlib.sha256(payload + f":{w}x{h}".encode()).digest()
     return head + body
