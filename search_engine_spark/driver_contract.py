@@ -2866,9 +2866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_recent": q_events_recent,
     "pagerank_fixed_dist": q_pagerank_fixed_dist,
     "lsh_ann_exact": q_lsh_ann_exact,
-    "ivf_ann_exact": q_ivf_ann_exact,
     "embed_dup_lsh_exact": q_embed_dup_lsh_exact,
-    "media_stats": q_media_stats,
     "snippets": q_snippets,
     "url_normalize": q_url_normalize,
     "streaming_topk": q_streaming_topk,
@@ -2891,6 +2889,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "media_features": q_media_features,
     "seq_tokens": q_seq_tokens,
+    # round-5 late rotation: the REAL PNG and WAV decode chains take
+    # the slots of two in-window twins (media_stats — the
+    # metadata-only scan, superseded evidentially by the three decode
+    # oracles; ivf_ann_exact — whose IVF-exact-probe chain stays
+    # in-window end-to-end via the pinned vector_index_exact
+    # lifecycle) so the driver's CORRECTNESS file records all three
+    # stdlib codecs, each against an oracle that REGENERATES the
+    # pixel/sample grid relationally.
+    "png_features": q_png_features,
+    "audio_features": q_audio_features,
     # --- entries past the driver gate's 50-record cap ---
     # (minhash_signatures / embed_dup_pairs demoted for the two slots
     # above: pairs are DERIVED from the signatures and minhash_pairs /
@@ -2939,13 +2947,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "embed_dup_lsh": q_embed_dup_lsh,
-    # round-5 real-codec promotions: PNG (stdlib zlib, all 5 scanline
-    # filters) and WAV (16-bit PCM chunk walk) decode paths, each
-    # hash-checked against an oracle that REGENERATES the pixel/sample
-    # grid relationally (tail entries — oracle-checked by
-    # tests/test_driver_contract.py + tools/selfcheck.py).
-    "png_features": q_png_features,
-    "audio_features": q_audio_features,
+    # round-5 late demotions (codec rotation above) — still
+    # oracle-checked here and by tools/selfcheck.py:
+    "media_stats": q_media_stats,
+    "ivf_ann_exact": q_ivf_ann_exact,
 }
 
 ORACLE_SQL: dict[str, str] = {

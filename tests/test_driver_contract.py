@@ -131,5 +131,7 @@ def test_gate_cap_discipline():
         "dup_spans",
         "media_features",
         "seq_tokens",
+        "png_features",
+        "audio_features",
     ):
         assert flagship in first50, flagship
