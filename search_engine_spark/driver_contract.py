@@ -2012,6 +2012,76 @@ FROM f, UNNEST(generate_series(1, nd)) u(k)
 """
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode -> feature extraction, hash-checked end to
+    end: every doc gets an actual uncompressed 24-bit DIB RIFF AVI
+    (2-4 deterministic LCG frames, ``attach_fake_avi``),
+    ``video_features`` decodes the container with the stdlib codec
+    (RIFF chunk walk, bottom-up BGR padded DIB rows) and emits 10
+    exact-integer-moment dims (per-channel mean + population variance
+    over ALL frames' pixels, then w/h/n_frames/fps scaled). The DuckDB
+    oracle REGENERATES every frame's pixel grid from the formula and
+    re-derives the same moments — a decoder that misreads chunk
+    layout, frame order, row order or channel order mismatches
+    immediately."""
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_avi,
+        video_features,
+    )
+
+    media = attach_fake_avi(_docs(spark, sf_dir))
+    feats = video_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"),
+             "value")
+
+
+# the oracle never touches the AVI bytes: it rebuilds every frame's
+# pixel grid the generator encoded (multimodal.fake_avi_pixels) and
+# derives the moments relationally — decode errors cannot cancel out.
+# Every dim is ONE IEEE division of exact int64 moments (n ≤ 4·40·32
+# pixels, so all numerators stay far under 2^53), so the doubles are
+# bit-identical across engines.
+SQL_VIDEO_FEATURES = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS i,
+         (16 + (doc_id % 4) * 8)::BIGINT AS w,
+         (16 + (doc_id % 3) * 8)::BIGINT AS h,
+         (2 + (doc_id % 3))::BIGINT AS nf,
+         (10 + (doc_id % 2) * 5)::BIGINT AS fps
+  FROM documents
+),
+px AS (
+  SELECT d.i, d.w, d.h, d.nf, d.fps,
+    (7*d.i + 17*uf.f + 3*ux.x + 5*uy.y) % 256 AS r,
+    (11*d.i + 23*uf.f + ux.x + 2*uy.y) % 256 AS g,
+    (13*d.i + 29*uf.f + 4*ux.x + uy.y) % 256 AS b
+  FROM d,
+       UNNEST(generate_series(0, d.nf - 1)) uf(f),
+       UNNEST(generate_series(0, d.w - 1)) ux(x),
+       UNNEST(generate_series(0, d.h - 1)) uy(y)
+),
+agg AS (
+  SELECT i, w, h, nf, fps, count(*)::BIGINT AS n,
+    sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb,
+    sum(r*r)::BIGINT AS qr, sum(g*g)::BIGINT AS qg, sum(b*b)::BIGINT AS qb
+  FROM px GROUP BY i, w, h, nf, fps
+),
+f AS (
+  SELECT i AS doc_id, 10 AS nd, [
+    sr::DOUBLE / (n*255), sg::DOUBLE / (n*255), sb::DOUBLE / (n*255),
+    (n*qr - sr*sr)::DOUBLE / (n*n*255*255),
+    (n*qg - sg*sg)::DOUBLE / (n*n*255*255),
+    (n*qb - sb*sb)::DOUBLE / (n*n*255*255),
+    w::DOUBLE / 256, h::DOUBLE / 256, nf::DOUBLE / 256, fps::DOUBLE / 256
+  ] AS fv FROM agg
+)
+SELECT doc_id, (u.k - 1)::BIGINT AS dim_idx, fv[u.k] AS value
+FROM f, UNNEST(generate_series(1, nd)) u(k)
+"""
+
+
 # the oracle never touches the BMP bytes: it rebuilds the pixel grid
 # the generator encoded (multimodal.fake_bmp_pixels) and derives the
 # moments relationally — decode errors cannot cancel out
@@ -2951,6 +3021,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked here and by tools/selfcheck.py:
     "media_stats": q_media_stats,
     "ivf_ann_exact": q_ivf_ann_exact,
+    # REAL codec #4: uncompressed RIFF AVI decode -> exact-moment
+    # video features (tail entry — oracle-checked by
+    # tests/test_driver_contract.py + tools/selfcheck.py).
+    "video_features": q_video_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3030,4 +3104,5 @@ ORACLE_SQL: dict[str, str] = {
     "live_loop_topk": SQL_BM25_TOPK,
     "png_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_features": SQL_VIDEO_FEATURES,
 }

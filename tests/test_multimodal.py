@@ -435,3 +435,104 @@ def test_extract_features_dispatch_real_vs_stub(spark):
 
     for i in (1, 2, 4, 5):
         assert abs(np.linalg.norm(stub[i]) - 1.0) < 1e-5, i
+
+
+def test_avi_codec_roundtrip_and_layout():
+    """decode(encode(frames)) is identity over assorted dims (incl.
+    odd widths, where DIB row padding kicks in), frame counts and
+    rates; header fields pinned at their spec offsets; each '00db'
+    frame body is byte-identical to the BMP pixel array for the same
+    frame (one DIB layout shared by both codecs)."""
+    import numpy as np
+    import struct as st
+
+    for n, h, w, fps in [(1, 2, 2, 10), (3, 16, 17, 15), (4, 24, 40, 10)]:
+        fr = np.stack([mm.fake_avi_pixels(7, f, w, h) for f in range(n)])
+        payload = mm.encode_avi(fr, fps)
+        back, got_fps = mm.decode_avi(payload)
+        assert got_fps == fps and np.array_equal(back, fr), (n, h, w)
+        # spec offsets: RIFF(12) LIST/hdrl(12) avih hdr(8) -> body @32;
+        # dwTotalFrames is the 5th DWORD, dwWidth/dwHeight the 9th/10th
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        assert payload[12:16] == b"LIST" and payload[20:24] == b"hdrl"
+        assert st.unpack_from("<I", payload, 48)[0] == n
+        assert st.unpack_from("<II", payload, 64) == (w, h)
+        # first frame chunk body == encode_bmp's pixel array
+        at = payload.index(b"00db")
+        ln = st.unpack_from("<I", payload, at + 4)[0]
+        assert payload[at + 8 : at + 8 + ln] == mm.encode_bmp(fr[0])[54:]
+    with pytest.raises(ValueError):
+        mm.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_video_features_match_naive_frame_stats(spark):
+    """video_features over the real AVI codec == naive per-pixel stats
+    computed straight from the generator formula (never decoding)."""
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    feats = {
+        r.doc_id: list(r.features)
+        for r in mm.video_features(mm.attach_fake_avi(docs)).collect()
+    }
+    for i in range(12):
+        w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+        nf, fps = 2 + (i % 3), 10 + (i % 2) * 5
+        chans = ([], [], [])
+        for f in range(nf):
+            for y in range(h):
+                for x in range(w):
+                    chans[0].append((7 * i + 17 * f + 3 * x + 5 * y) % 256)
+                    chans[1].append((11 * i + 23 * f + x + 2 * y) % 256)
+                    chans[2].append((13 * i + 29 * f + 4 * x + y) % 256)
+        n = nf * w * h
+        want = [sum(c) / (n * 255) for c in chans] + [
+            (n * sum(v * v for v in c) - sum(c) ** 2) / (n * n * 255 * 255)
+            for c in chans
+        ] + [w / 256, h / 256, nf / 256, fps / 256]
+        assert feats[i] == want, i
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames over REAL AVI payloads: each sampled row is a
+    VALID standalone BMP whose pixels equal the directly-indexed
+    generator frame under the floor mapping (fi*n)//n_frames — and it
+    composes: image_features runs on the sampled rows unchanged."""
+    import numpy as np
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    avi = mm.attach_fake_avi(docs).persist()
+    rows = mm.sample_frames(avi, n_frames=3).collect()
+    assert len(rows) == 8 * 3
+    for r in rows:
+        i, fi = r.doc_id, r.frame_idx
+        w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+        nf = 2 + (i % 3)
+        want = mm.fake_avi_pixels(i, (fi * nf) // 3, w, h)
+        assert np.array_equal(mm.decode_bmp(bytes(r.frame_bytes)), want), (
+            i, fi,
+        )
+    # composition: the sampled frames ARE image rows
+    frame_media = mm.sample_frames(avi, n_frames=2).select(
+        (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_bytes").alias("media"),
+    )
+    got = mm.image_features(frame_media).count()
+    assert got == 8 * 2
+    avi.unpersist()
+
+
+def test_extract_features_takes_real_path_for_avi(spark):
+    """extract_features dispatches RIFF/AVI payloads to the real
+    10-dim video moments, zero-padded to dim."""
+    docs = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    avi = mm.attach_fake_avi(docs)
+    feats = {
+        r.doc_id: list(r.features)
+        for r in mm.extract_features(avi, dim=16).collect()
+    }
+    real = {
+        r.doc_id: list(r.features)
+        for r in mm.video_features(avi).collect()
+    }
+    for i, v in feats.items():
+        assert v[:10] == pytest.approx(real[i], rel=1e-6)
+        assert v[10:] == [0.0] * 6
