@@ -444,6 +444,32 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         ).save()
         timings["pii_scrub"] = round(time.perf_counter() - t0, 4)
 
+        # multimodal decode throughput (round 5): three of the four
+        # REAL stdlib codecs end-to-end — synthesize genuine
+        # BMP/WAV/AVI payloads and decode them back to exact-moment
+        # features in one mapInPandas pass each (PNG shares the BMP
+        # pixel path; its zlib cost is pinned separately in tests)
+        from search_engine_spark.operators.multimodal import (
+            attach_fake_avi,
+            attach_fake_bmp,
+            attach_fake_wav,
+            audio_features,
+            image_features,
+            video_features,
+        )
+
+        t0 = time.perf_counter()
+        image_features(attach_fake_bmp(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        audio_features(attach_fake_wav(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        video_features(attach_fake_avi(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["media_features_all"] = round(time.perf_counter() - t0, 4)
+
         # full hygiene pipeline (round 4): langid -> quality -> exact
         # dedup -> near-dup components -> decontam -> slice rows, one
         # composed run over the documents table
