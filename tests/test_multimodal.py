@@ -536,3 +536,22 @@ def test_extract_features_takes_real_path_for_avi(spark):
     for i, v in feats.items():
         assert v[:10] == pytest.approx(real[i], rel=1e-6)
         assert v[10:] == [0.0] * 6
+
+
+def test_media_features_feed_the_ann_stack(spark):
+    """The multimodal columns are first-class pipeline citizens:
+    decoded image features feed the similarity operators directly
+    (feature frame -> cosine_topk, no adapter layer), and a doc's own
+    feature vector is its nearest neighbor."""
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    feats = mm.image_features(mm.attach_fake_bmp(docs)).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    ).persist()
+    q = feats.where(F.col("vec_id") == 17).collect()[0].embedding
+    top = cosine_topk(feats, list(q), k=3).collect()
+    assert top[0].vec_id == 17 and top[0].cosine == pytest.approx(1.0)
+    assert len(top) == 3 and top[1].cosine <= top[0].cosine
+    feats.unpersist()

@@ -274,3 +274,37 @@ def test_drop_near_duplicates_broadcasts_losers(spark):
     plan = _plan(drop_near_duplicates(docs, pairs))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_media_feature_plans_are_single_pass(spark, tmp_path_factory):
+    """Each codec feature op over a MATERIALIZED media table is one
+    scan -> one MapInPandas -> no Exchange: decode parallelism is the
+    file-split parallelism, and a 100 TB media corpus never shuffles
+    binary payloads to get featurized."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.multimodal import (
+        attach_fake_avi,
+        attach_fake_bmp,
+        attach_fake_wav,
+        audio_features,
+        image_features,
+        video_features,
+    )
+
+    docs = spark.range(0, 32).select(F.col("id").alias("doc_id"))
+    for tag, attach, featurize in [
+        ("bmp", attach_fake_bmp, image_features),
+        ("wav", attach_fake_wav, audio_features),
+        ("avi", attach_fake_avi, video_features),
+    ]:
+        d = str(tmp_path_factory.mktemp(f"media_{tag}"))
+        attach(docs).write.mode("overwrite").parquet(d)
+        plan = _plan(featurize(spark.read.parquet(d)))
+        assert "Exchange" not in plan, (tag, plan)
+        assert plan.count("MapInPandas") == 1, (tag, plan)
+        # column-pruned scan: the feature pass reads id + payload only
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan and "mime" not in scan[0] and "width" not in scan[0], (
+            tag, scan,
+        )
