@@ -115,13 +115,22 @@ def attach_fake_media(
 
 def media_stats(df: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, sha256, kind): metadata scan — JVM-only
-    expressions, no media decode, column-pruned to the binary column."""
+    expressions, no media decode, column-pruned to the binary column.
+    RIFF containers are disambiguated by their form type at bytes
+    8:12 ('AVI ' -> video/avi; anything else, including WAVE and
+    truncated/keystream payloads, stays audio/wav — the historical
+    sniff)."""
     kind = F.lit("unknown")
     for magic, mime in _MAGIC.items():
         kind = F.when(
             F.substring(F.col("media"), 1, len(magic)) == F.lit(magic),
             F.lit(mime),
         ).otherwise(kind)
+    kind = F.when(
+        (F.substring(F.col("media"), 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(F.col("media"), 9, 4) == F.lit(b"AVI ")),
+        F.lit("video/avi"),
+    ).otherwise(kind)
     return df.select(
         "doc_id",
         F.length("media").alias("n_bytes"),

@@ -1,7 +1,7 @@
-"""Multimodal column plumbing + the three REAL stdlib codecs.
+"""Multimodal column plumbing + the four REAL stdlib codecs.
 
-BMP, PNG and WAV decode/encode are fully real (struct + zlib + numpy);
-JPEG/compressed-audio remain stub seams. These tests pin the codec
+BMP, PNG, WAV and AVI decode/encode are fully real (struct + zlib +
+numpy); JPEG/compressed-audio/-video remain stub seams. These tests pin the codec
 byte layouts against independent references (hand-built byte strings,
 the stdlib wave module, naive per-pixel/per-sample loops) plus the
 Spark-side contract: binary column handling, mapInPandas signatures,
@@ -555,3 +555,24 @@ def test_media_features_feed_the_ann_stack(spark):
     assert top[0].vec_id == 17 and top[0].cosine == pytest.approx(1.0)
     assert len(top) == 3 and top[1].cosine <= top[0].cosine
     feats.unpersist()
+
+
+def test_media_stats_sniffs_avi_form_type(spark):
+    """media_stats distinguishes RIFF/AVI from RIFF/WAVE by the form
+    type at bytes 8:12 — still JVM-only, and attach_fake_media's
+    RIFF-prefixed keystream rows (hex ASCII at 8:12) keep the
+    historical audio/wav sniff."""
+    docs = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    avi_kinds = {
+        r.doc_id: r.kind
+        for r in mm.media_stats(mm.attach_fake_avi(docs)).collect()
+    }
+    assert set(avi_kinds.values()) == {"video/avi"}
+    wav = mm.attach_fake_wav(docs).select("doc_id", "media")
+    assert {
+        r.kind for r in mm.media_stats(wav).collect()
+    } == {"audio/wav"}
+    plan = mm.media_stats(
+        mm.attach_fake_wav(docs).select("doc_id", "media")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
