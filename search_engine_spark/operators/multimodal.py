@@ -170,9 +170,8 @@ def encode_bmp(px: np.ndarray) -> bytes:
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :row_raw] = px[::-1, :, ::-1].reshape(h, row_raw)
-    return header + info + rows.tobytes()
+    # the pixel array is exactly the DIB layout the AVI codec shares
+    return header + info + _encode_dib(px)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -193,13 +192,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
-    row_raw = w * 3
-    stride = row_raw + ((-row_raw) % 4)
-    body = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * h, offset=off
-    ).reshape(h, stride)[:, :row_raw]
-    px = body.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
-    return np.ascontiguousarray(px if top_down else px[::-1])
+    stride = w * 3 + ((-(w * 3)) % 4)
+    return _decode_dib(payload[off : off + stride * h], w, h, top_down)
 
 
 def fake_bmp_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
@@ -528,15 +522,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     compressed audio is the documented seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+    leaves: list = []
+    _riff_walk(payload, 12, len(payload), leaves)  # word-aligned walk
+    fmt = data = None
+    for tag, body in leaves:
         if tag == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
-            data = payload[pos + 8 : pos + 8 + ln]
-        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            data = body
     if fmt is None or data is None:
         raise ValueError("truncated WAV (missing fmt/data chunk)")
     audio_fmt, ch, sr, _, _, bits = fmt
@@ -742,15 +735,19 @@ def _encode_dib(px: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def _decode_dib(body: bytes, w: int, h: int) -> np.ndarray:
-    """Inverse of _encode_dib: raw bottom-up BGR padded rows ->
-    (h, w, 3) uint8 RGB, row 0 = TOP."""
+def _decode_dib(
+    body: bytes, w: int, h: int, top_down: bool = False
+) -> np.ndarray:
+    """Inverse of _encode_dib: raw BGR padded rows -> (h, w, 3) uint8
+    RGB, row 0 = TOP. ``top_down`` selects the (rarer) top-down row
+    order a negative biHeight declares."""
     row_raw = w * 3
     stride = row_raw + ((-row_raw) % 4)
     rows = np.frombuffer(body, dtype=np.uint8, count=stride * h).reshape(
         h, stride
     )[:, :row_raw]
-    return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, ::-1][::-1])
+    px = rows.reshape(h, w, 3)[:, :, ::-1]
+    return np.ascontiguousarray(px if top_down else px[::-1])
 
 
 def _riff_chunk(tag: bytes, body: bytes) -> bytes:
@@ -815,8 +812,8 @@ def encode_avi(frames: np.ndarray, fps: int) -> bytes:
 
 def _riff_walk(payload: bytes, pos: int, end: int, out: list) -> None:
     """Flatten a RIFF chunk tree into (tag, body) leaves — LIST chunks
-    recurse, word alignment honored (the same walk decode_wav does,
-    plus nesting)."""
+    recurse, word alignment honored. The ONE chunk walk both RIFF
+    codecs (WAV and AVI) parse with."""
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -831,31 +828,43 @@ def _riff_walk(payload: bytes, pos: int, end: int, out: list) -> None:
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF AVI bytes -> ((n, h, w, 3) uint8 RGB frames, fps). Only
     the uncompressed 24-bit DIB 'vids' stream decodes — compressed
-    codecs (MJPEG/H.264/...) are the documented seam."""
+    codecs (MJPEG/H.264/...) raise NotImplementedError, the documented
+    seam. The video stream's NUMBER is derived from its strl position
+    (frame chunks are '{nn}db'/'{nn}dc'), so a file that muxes an
+    audio stream before the video stream still decodes."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     leaves: list = []
     _riff_walk(payload, 12, len(payload), leaves)
-    strh = strf = None
-    dibs = []
+    strh = strf = vids_idx = None
+    n_strh = 0
     for tag, body in leaves:
-        if tag == b"strh" and body[:4] == b"vids":
-            strh = body
+        if tag == b"strh":
+            if body[:4] == b"vids" and vids_idx is None:
+                vids_idx, strh = n_strh, body
+            n_strh += 1
         elif tag == b"strf" and strh is not None and strf is None:
             strf = body
-        elif tag in (b"00db", b"00dc"):
-            dibs.append(body)
-    if strh is None or strf is None or not dibs:
-        raise ValueError("truncated AVI (missing strh/strf/frames)")
+    if strh is None or strf is None:
+        raise ValueError("truncated AVI (missing vids strh/strf)")
+    prefix = b"%02d" % vids_idx
+    dibs = [
+        body for tag, body in leaves
+        if tag in (prefix + b"db", prefix + b"dc")
+    ]
+    if not dibs:
+        raise ValueError("truncated AVI (no frame chunks)")
     scale, rate = struct.unpack_from("<II", strh, 20)
-    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    _, w, h_signed, _, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bit DIB AVI streams are decoded here "
             f"(bpp={bpp}, compression={comp}) — compressed video is the "
             f"documented codec seam"
         )
-    frames = np.stack([_decode_dib(d, w, h) for d in dibs])
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    frames = np.stack([_decode_dib(d, w, h, top_down) for d in dibs])
     return frames, rate // max(scale, 1)
 
 
@@ -1090,14 +1099,21 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["media"]):
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames, _ = decode_avi(payload)
-                    n = frames.shape[0]
-                    for fi in range(n_frames):
-                        rows.append(
-                            (int(did), fi,
-                             encode_bmp(frames[(fi * n) // n_frames]))
-                        )
-                    continue
+                    try:
+                        frames, _ = decode_avi(payload)
+                    except (NotImplementedError, ValueError):
+                        # compressed/odd AVI variants keep the
+                        # byte-slice stub the docstring promises —
+                        # one foreign row must not fail the stage
+                        frames = None
+                    if frames is not None:
+                        n = frames.shape[0]
+                        for fi in range(n_frames):
+                            rows.append(
+                                (int(did), fi,
+                                 encode_bmp(frames[(fi * n) // n_frames]))
+                            )
+                        continue
                 step = max(len(payload) // n_frames, 1)
                 for fi in range(n_frames):
                     rows.append(

@@ -576,3 +576,107 @@ def test_media_stats_sniffs_avi_form_type(spark):
         mm.attach_fake_wav(docs).select("doc_id", "media")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_avi_foreign_variants():
+    """Robustness on spec-valid AVIs this encoder never writes: a
+    muxed file whose video stream is NOT stream 0 (frames live in
+    '01db' chunks), and a top-down DIB stream (negative biHeight);
+    compressed streams raise the documented NotImplementedError."""
+    import struct as st
+
+    import numpy as np
+
+    fr = np.stack([mm.fake_avi_pixels(5, f, 24, 16) for f in range(3)])
+
+    # --- audio strl muxed BEFORE the video strl: frames are 01db ---
+    ref = mm.encode_avi(fr, 15)
+    at = ref.index(b"strh")
+    vids_strh = ref[at + 8 : at + 8 + 56]
+    at = ref.index(b"strf")
+    vids_strf = ref[at + 8 : at + 8 + 40]
+    auds_strh = b"auds" + vids_strh[4:]
+    auds_strf = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    hdrl = mm._riff_list(
+        b"hdrl",
+        mm._riff_chunk(b"avih", b"\x00" * 56)
+        + mm._riff_list(
+            b"strl",
+            mm._riff_chunk(b"strh", auds_strh)
+            + mm._riff_chunk(b"strf", auds_strf),
+        )
+        + mm._riff_list(
+            b"strl",
+            mm._riff_chunk(b"strh", vids_strh)
+            + mm._riff_chunk(b"strf", vids_strf),
+        ),
+    )
+    movi = mm._riff_list(
+        b"movi",
+        b"".join(
+            mm._riff_chunk(b"01db", mm._encode_dib(fr[k])) for k in range(3)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    muxed = b"RIFF" + st.pack("<I", len(body)) + body
+    back, fps = mm.decode_avi(muxed)
+    assert fps == 15 and np.array_equal(back, fr)
+
+    # --- top-down stream: negative biHeight, rows stored top-first ---
+    neg_strf = st.pack(
+        "<IiiHHIIiiII", 40, 24, -16, 1, 24, 0, 0, 0, 0, 0, 0
+    )
+    hdrl_td = mm._riff_list(
+        b"hdrl",
+        mm._riff_chunk(b"avih", b"\x00" * 56)
+        + mm._riff_list(
+            b"strl",
+            mm._riff_chunk(b"strh", vids_strh)
+            + mm._riff_chunk(b"strf", neg_strf),
+        ),
+    )
+    movi_td = mm._riff_list(
+        b"movi",
+        b"".join(
+            # a top-down body == the bottom-up encoding of the
+            # vertically flipped frame
+            mm._riff_chunk(b"00db", mm._encode_dib(fr[k][::-1]))
+            for k in range(3)
+        ),
+    )
+    body = b"AVI " + hdrl_td + movi_td
+    back, _ = mm.decode_avi(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert np.array_equal(back, fr)
+
+    # --- compressed stream raises the documented seam error ---
+    at = ref.index(b"strf")
+    comp = ref[: at + 8 + 16] + st.pack("<I", 1) + ref[at + 8 + 20 :]
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(comp)
+
+
+def test_sample_frames_stub_fallback_for_undecodable_avi(spark):
+    """A compressed (undecodable) AVI row must NOT fail the stage:
+    sample_frames falls back to the byte-slice stub its docstring
+    promises, while decodable rows in the same batch take the real
+    path."""
+    import struct as st
+
+    import numpy as np
+
+    fr = np.stack([mm.fake_avi_pixels(1, f, 16, 16) for f in range(2)])
+    good = mm.encode_avi(fr, 10)
+    at = good.index(b"strf")
+    bad = good[: at + 8 + 16] + st.pack("<I", 1) + good[at + 8 + 20 :]
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bad))],
+        "doc_id long, media binary",
+    )
+    rows = {(r.doc_id, r.frame_idx): bytes(r.frame_bytes)
+            for r in mm.sample_frames(df, n_frames=2).collect()}
+    assert len(rows) == 4
+    # doc 0: real frames (valid BMPs)
+    assert np.array_equal(mm.decode_bmp(rows[(0, 0)]), fr[0])
+    # doc 1: byte slices of the payload
+    step = max(len(bad) // 2, 1)
+    assert rows[(1, 0)] == bad[:step] and rows[(1, 1)] == bad[step : 2 * step]
