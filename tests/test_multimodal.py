@@ -680,3 +680,58 @@ def test_sample_frames_stub_fallback_for_undecodable_avi(spark):
     # doc 1: byte slices of the payload
     step = max(len(bad) // 2, 1)
     assert rows[(1, 0)] == bad[:step] and rows[(1, 1)] == bad[step : 2 * step]
+
+
+def test_featurize_media_job_cli(spark, tmp_path):
+    """Job-level: the featurize CLI decodes a real media table end to
+    end from a fresh interpreter — synthesized AVI corpus -> video
+    featurizer, then the same table through the auto (magic-dispatch)
+    path."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    out = str(tmp_path / "feats")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/featurize_media_job.py",
+         "--synthesize", "12", "--modality", "video", "--output", out],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] == 12 and report["n_dims"] == 10
+    feats = {
+        r.doc_id: list(r.features)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    want = {
+        r.doc_id: list(r.features)
+        for r in mm.video_features(mm.attach_fake_avi(docs)).collect()
+    }
+    assert feats == want
+
+    media_dir = str(tmp_path / "media")
+    mm.attach_fake_avi(docs).select("doc_id", "media").write.parquet(
+        media_dir
+    )
+    out2 = str(tmp_path / "feats_auto")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/jobs/featurize_media_job.py",
+         "--media", media_dir, "--modality", "auto", "--dim", "16",
+         "--output", out2],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] == 12 and report["n_dims"] == 16
+    auto = {
+        r.doc_id: list(r.features)
+        for r in spark.read.parquet(out2).collect()
+    }
+    for i, v in auto.items():
+        assert v[:10] == pytest.approx(want[i], rel=1e-6)
+        assert v[10:] == [0.0] * 6
