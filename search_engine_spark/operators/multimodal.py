@@ -915,6 +915,37 @@ def attach_fake_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resize_videos(
+    df: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """binary→binary video transform keeping VIDEO_SCHEMA: decode the
+    AVI → nearest-neighbor resample every frame (the same floor
+    mapping as image resize) → re-encode at the original rate. The
+    video analogue of ``resize_images``/``resample_audio``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                frames, fps = decode_avi(payload)
+                resized = np.stack(
+                    [nn_resample(f, target_w, target_h) for f in frames]
+                )
+                out.append(
+                    (int(did), encode_avi(resized, fps), "video/avi",
+                     target_w, target_h, int(frames.shape[0]), fps)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "media", "mime", "width", "height",
+                         "n_frames", "fps"],
+            )
+
+    return df.select(
+        "doc_id", "media", "mime", "width", "height", "n_frames", "fps"
+    ).mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
 VIDEO_FEATURE_DIM = 10
 
 

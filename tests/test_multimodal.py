@@ -735,3 +735,32 @@ def test_featurize_media_job_cli(spark, tmp_path):
     for i, v in auto.items():
         assert v[:10] == pytest.approx(want[i], rel=1e-6)
         assert v[10:] == [0.0] * 6
+
+
+def test_resize_videos_matches_per_frame_reference(spark):
+    """resize_videos == an independent per-frame per-pixel floor-
+    mapping loop; container metadata (dims, frame count, rate)
+    preserved/updated consistently; output is a valid AVI."""
+    import numpy as np
+
+    docs = spark.range(0, 9).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: r
+        for r in mm.resize_videos(
+            mm.attach_fake_avi(docs), 20, 12
+        ).collect()
+    }
+    for i in range(9):
+        w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+        nf, fps = 2 + (i % 3), 10 + (i % 2) * 5
+        r = out[i]
+        assert (r.width, r.height, r.n_frames, r.fps) == (20, 12, nf, fps)
+        back, got_fps = mm.decode_avi(bytes(r.media))
+        assert got_fps == fps and back.shape == (nf, 12, 20, 3)
+        for f in range(nf):
+            src = mm.fake_avi_pixels(i, f, w, h)
+            ref = np.zeros((12, 20, 3), dtype=np.uint8)
+            for yd in range(12):
+                for xd in range(20):
+                    ref[yd, xd] = src[(yd * h) // 12, (xd * w) // 20]
+            assert np.array_equal(back[f], ref), (i, f)
