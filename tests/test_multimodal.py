@@ -764,3 +764,31 @@ def test_resize_videos_matches_per_frame_reference(spark):
                 for xd in range(20):
                     ref[yd, xd] = src[(yd * h) // 12, (xd * w) // 20]
             assert np.array_equal(back[f], ref), (i, f)
+
+
+def test_media_features_build_a_persisted_vector_index(spark, tmp_path):
+    """Full multimodal->ANN lifecycle: decoded image features build a
+    VectorIndex artifact (save -> load -> query); the exact dial over
+    the saved artifact equals brute-force cosine over the raw feature
+    frame — media vectors are first-class citizens of the persisted
+    ANN stack, not just the ad-hoc operators."""
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.operators.vector_index import VectorIndex
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    feats = mm.image_features(mm.attach_fake_bmp(docs)).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    ).persist()
+    vidx = VectorIndex.build(feats, dim=8, n_centroids=4)
+    d = str(tmp_path / "vidx")
+    vidx.save(d)
+    loaded = VectorIndex.load(spark, d)
+    q = feats.where(F.col("vec_id") == 11).collect()[0].embedding
+    got = [(r.vec_id, round(r.cosine, 9))
+           for r in loaded.topk(list(q), k=5, exact=True).collect()]
+    want = [(r.vec_id, round(r.cosine, 9))
+            for r in cosine_topk(feats, list(q), k=5).collect()]
+    assert got == want and got[0][0] == 11
+    assert loaded.topk(list(q), k=5).count() == 5  # default dial runs
+    feats.unpersist()
